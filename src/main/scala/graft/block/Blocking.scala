@@ -1,0 +1,139 @@
+package graft.block
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Forward index, inverted index, and candidate-pair generation — the
+  * core of the reference's blocking stage:
+  *   - forward index  (db/base.py:117-151, blocking.py:115-149)
+  *   - inverted index (db/base.py:179-212, blocking.py:187-194)
+  *   - pair self-join (blocking.py:256-271, spec simple/subroutines.py:19-33)
+  *
+  * Scale design (10^12 turns / ~10^10 conversations):
+  *   - The self-join shuffles both sides on the full signature tuple —
+  *     co-partitioned exchange, sort-merge join; AQE handles residual
+  *     skew splits.
+  *   - HOT-KEY SKEW is defused *before* the join with a deterministic
+  *     frequency cap: any signature shared by more than `maxBlockSize`
+  *     records forms a near-quadratic block (a stopword n-gram can pull
+  *     in millions of rows) and is dropped. The reference inherits this
+  *     cost silently (Postgres just grinds); the north rule demands
+  *     explicit handling. The cap is mirrored in the DuckDB oracle
+  *     (HAVING count(*) <= cap) so correctness checks see identical
+  *     semantics.
+  *   - dropDuplicates before the expensive distance stage mirrors
+  *     blocking.py:270 GROUP BY.
+  */
+object Blocking {
+
+  /** Default block-size cap: blocks bigger than this are dropped.
+    * 100 ⇒ ≤ 4950 pairs per block — bounds the worst task. */
+  val DefaultMaxBlockSize = 100
+
+  /** P1: forward index — one signature column per bound scheme.
+    * Catalyst column pruning makes the reference's lazy ALTER TABLE
+    * ADD COLUMN (blocking.py:150-185) unnecessary: select all, prune free.
+    */
+  def forwardIndex(records: DataFrame, schemes: Seq[BoundScheme],
+                   idCol: String = "conv_id"): DataFrame =
+    records.select((col(idCol) +: schemes.map(_.expr)): _*)
+
+  /** G1: inverted index for one conjunction — (sig_0..sig_k, id) rows.
+    * Array schemes are exploded (chained explodes multiply rows exactly
+    * like the reference's chained unnest, blocking.py:88-99). Null and
+    * empty signatures are dropped: they are non-informative and empty
+    * strings would otherwise form one giant block.
+    */
+  def invertedIndex(records: DataFrame, conjunction: Seq[BoundScheme],
+                    idCol: String = "conv_id"): DataFrame = {
+    val fwd = forwardIndex(records, conjunction, idCol)
+    val exploded = conjunction.zipWithIndex.foldLeft(fwd) {
+      case (df, (b, i)) =>
+        val c = if (b.isArray) explode(col(b.name)) else col(b.name)
+        df.withColumn(s"sig_$i", c)
+    }
+    val sigCols = conjunction.indices.map(i => col(s"sig_$i"))
+    exploded
+      .select((col(idCol) +: sigCols): _*)
+      .filter(sigCols.map(c => c.isNotNull && c =!= "").reduce(_ && _))
+  }
+
+  /** Frequency cap: drop signatures whose block exceeds maxBlockSize.
+    * One extra aggregation on the (already shuffled) signature key;
+    * at scale this is the difference between a bounded job and a
+    * quadratic straggler. Deterministic — mirrored in the oracle.
+    */
+  def capHotSignatures(inv: DataFrame, maxBlockSize: Int): DataFrame = {
+    val sigCols = inv.columns.filter(_.startsWith("sig_")).map(col).toSeq
+    val counts = inv.groupBy(sigCols: _*)
+      .agg(count(lit(1)).as("_block_n"))
+      .filter(col("_block_n") <= maxBlockSize)
+      .drop("_block_n")
+    inv.join(counts, sigCols.map(_.toString), "left_semi")
+  }
+
+  /** J1: candidate pairs for one conjunction — inverted-index self-join
+    * with canonical ordering (dedupe mode: idL < idR, blocking.py:258-259)
+    * and dedup across multi-signature hits (blocking.py:270).
+    */
+  def candidatePairs(records: DataFrame, conjunction: Seq[BoundScheme],
+                     idCol: String = "conv_id",
+                     maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
+    val inv = capHotSignatures(
+      invertedIndex(records, conjunction, idCol), maxBlockSize)
+    selfJoinPairs(inv, idCol)
+  }
+
+  /** J2: record-linkage variant — pairs cross two tables, no ordering
+    * constraint (blocking.py:260-261).
+    */
+  def linkagePairs(left: DataFrame, right: DataFrame,
+                   conjunction: Seq[BoundScheme],
+                   idCol: String = "conv_id",
+                   maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
+    val invL = capHotSignatures(
+      invertedIndex(left, conjunction, idCol), maxBlockSize)
+    val invR = capHotSignatures(
+      invertedIndex(right, conjunction, idCol), maxBlockSize)
+    val sigs = invL.columns.filter(_.startsWith("sig_")).toSeq
+    invL.select((col(idCol).as("id_l") +: sigs.map(col)): _*)
+      .join(invR.select((col(idCol).as("id_r") +: sigs.map(col)): _*), sigs)
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+  }
+
+  private def selfJoinPairs(inv: DataFrame, idCol: String): DataFrame = {
+    val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
+    val l = inv.select((col(idCol).as("id_l") +: sigs.map(col)): _*)
+    val r = inv.select((col(idCol).as("id_r") +: sigs.map(col)): _*)
+    l.join(r, sigs)
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+  }
+
+  /** Union of candidate pairs across a conjunction list, appended
+    * best-first with conflict-skip semantics (S4/U2:
+    * INSERT … ON CONFLICT DO NOTHING, blocking.py:296-313) = left_anti
+    * against already-covered pairs, then union.
+    */
+  def unionPairs(pairsByConjunction: Seq[DataFrame]): DataFrame =
+    pairsByConjunction.reduce { (acc, next) =>
+      acc.unionByName(next.join(acc, Seq("id_l", "id_r"), "left_anti"))
+    }
+
+  /** DuckDB oracle SQL for [[candidatePairs]] over a CTE named
+    * `signatures(conv_id, sig_0..sig_k)` — caller supplies that CTE.
+    */
+  def pairsOracleSql(nSigs: Int, maxBlockSize: Int): String = {
+    val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
+    val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i").mkString(" AND ")
+    s"""capped AS (
+       |  SELECT * FROM signatures WHERE ($sigs) IN (
+       |    SELECT ($sigs) FROM signatures GROUP BY $sigs
+       |    HAVING count(*) <= $maxBlockSize)
+       |)
+       |SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+       |FROM capped l JOIN capped r ON $eqs AND l.conv_id < r.conv_id""".stripMargin
+  }
+}

@@ -1,0 +1,84 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Iceberg-shaped table layer over partitioned Parquet.
+  *
+  * The sandbox has no Iceberg runtime jar (SURVEY.md §7.0), so the
+  * Iceberg semantics the north star needs are emulated honestly:
+  *   - stage outputs live under `<root>/<stage>/` as Parquet with
+  *     Spark's `_SUCCESS` marker = commit marker
+  *   - per-stage LINEAGE + METRICS rows are appended to a sidecar
+  *     Parquet table `<root>/_lineage` (stage name, inputs, row count,
+  *     wall ms, partition count) — the "per-partition lineage and stage
+  *     metrics to Iceberg metadata tables" requirement
+  *   - `stage(...)` is resume-from-checkpoint: if a committed output
+  *     exists it is read back instead of recomputed (reference analog:
+  *     re-entrant scheme columns, db/postgres/blocking.py:131-142)
+  *   - MERGE-like upsert = left_anti + append ([[upsert]]), so a real
+  *     Iceberg catalog drops in without changing call sites.
+  */
+final class TableIO(spark: SparkSession, root: String) {
+
+  private def path(stage: String) = s"$root/$stage"
+  private def committed(stage: String): Boolean =
+    Files.exists(Paths.get(path(stage), "_SUCCESS"))
+
+  /** Run `compute` unless stage output already committed; either way
+    * return the stage's DataFrame (read back from Parquet, so lineage
+    * is cut at every stage boundary — cheap restarts, bounded plans).
+    */
+  def stage(name: String, inputs: Seq[String] = Nil)
+           (compute: => DataFrame): DataFrame = {
+    if (!committed(name)) {
+      val t0 = System.nanoTime()
+      val df = compute
+      df.write.mode(SaveMode.Overwrite).parquet(path(name))
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      val out = spark.read.parquet(path(name))
+      appendLineage(name, inputs, out, wallMs)
+    }
+    spark.read.parquet(path(name))
+  }
+
+  private def appendLineage(name: String, inputs: Seq[String],
+                            out: DataFrame, wallMs: Long): Unit = {
+    import spark.implicits._
+    val rows = out.count()
+    val parts = out.rdd.getNumPartitions
+    Seq((name, inputs.mkString(","), rows, parts, wallMs,
+      System.currentTimeMillis()))
+      .toDF("stage", "inputs", "rows", "partitions", "wall_ms", "committed_at")
+      .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
+  }
+
+  /** Lineage/metrics metadata table. */
+  def lineage(): DataFrame = spark.read.parquet(s"$root/_lineage")
+
+  /** S3/S4: MERGE-like upsert keyed on `keys` — existing rows win,
+    * new rows appended (INSERT … ON CONFLICT DO NOTHING,
+    * blocking.py:296-313).
+    */
+  def upsert(stageName: String, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    if (committed(stageName)) {
+      val existing = spark.read.parquet(path(stageName))
+      val fresh = incoming.join(existing, keys, "left_anti")
+      fresh.write.mode(SaveMode.Append).parquet(path(stageName))
+    } else {
+      incoming.write.mode(SaveMode.Overwrite).parquet(path(stageName))
+    }
+    spark.read.parquet(path(stageName))
+  }
+
+  /** Drop a stage's committed output (forces recompute on next run). */
+  def invalidate(stageName: String): Unit = {
+    def rm(p: java.io.File): Unit = {
+      if (p.isDirectory) p.listFiles().foreach(rm)
+      p.delete(); ()
+    }
+    val f = new java.io.File(path(stageName))
+    if (f.exists()) rm(f)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.block.{Blocking, ConjStats, Labels, Learner}
+import graft.cluster.ConnectedComponents
+import graft.io.TableIO
+import graft.ml.MatchClassifier
+import graft.normalize.Normalize
+import graft.sim.Distances
+import graft.synth.Transcripts
+
+/** End-to-end dedupe pipeline — the Spark rebuild of the reference's
+  * three entry points (oagdedupe api.py: initialize → fit_blocks →
+  * predict, SURVEY.md §3) collapsed into one driver program:
+  *
+  *   transcripts → normalize → learn conjunctions on a train sample →
+  *   blocked candidate pairs under a pair budget → similarity features →
+  *   logistic match classifier → score > threshold edges →
+  *   large-star/small-star connected components → clusters (+
+  *   singletons) joined back to records.
+  *
+  * Every stage can be checkpointed through [[graft.io.TableIO]]
+  * (resume-from-checkpoint per the north rule) when `workDir` is given;
+  * with `workDir = None` the pipeline runs fully in-memory (tests).
+  */
+object Dedupe {
+
+  final case class Config(
+      trainN: Int = 400,
+      k: Int = 3,
+      seedRrCut: Double = 0.99,
+      maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
+      nCovered: Long = 500000L, // reference settings.py:47-48
+      threshold: Double = 0.8,  // reference cluster/cluster.py:24
+      seed: Long = 42L,
+      useMlClassifier: Boolean = true)
+
+  final case class Result(
+      records: DataFrame,
+      pairs: DataFrame,
+      scored: DataFrame,
+      clusters: DataFrame,
+      conjunctions: Seq[ConjStats],
+      ccSupersteps: Seq[ConnectedComponents.Superstep])
+
+  def run(spark: SparkSession, sfDir: String, cfg: Config = Config(),
+          workDir: Option[String] = None): Result = {
+    val io = workDir.map(new TableIO(spark, _))
+    def staged(name: String, inputs: Seq[String])(f: => DataFrame): DataFrame =
+      io match {
+        case Some(t) => t.stage(name, inputs)(f)
+        case None => f
+      }
+
+    // 1. ingest + normalize (stable turn ordering invariant)
+    val records = staged("records", Seq(sfDir)) {
+      Normalize.normalize(Transcripts.transcripts(spark, sfDir))
+    }.cache()
+
+    // 2. labeled pairs (planted-duplicate truth, reference
+    //    initialize.py:117-135 analog)
+    val labels = Labels.plantedLabels(spark, sfDir).cache()
+
+    // 3. train sample = labeled records ∪ seeded uniform sample
+    //    (reference train = pos ∪ neg ∪ unlabelled, initialize.py:100-115)
+    val labeledIds = labels.select(col("id_l").as("conv_id"))
+      .unionByName(labels.select(col("id_r").as("conv_id"))).distinct()
+    val train = records.join(labeledIds, Seq("conv_id"), "left_semi")
+      .unionByName(records.orderBy(rand(cfg.seed)).limit(cfg.trainN))
+      .dropDuplicates("conv_id")
+
+    // 4. learn blocking conjunctions (greedy DP, optimizers.py:73-99)
+    val learner = new Learner(train, labels, Normalize.blockingAttributes,
+      cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
+    val conjunctions = learner.learn()
+    require(conjunctions.nonEmpty, "learner found no viable conjunction")
+
+    // 5. candidate pairs on FULL data, best conjunctions first, stop at
+    //    the covered-pair budget (blocking.py:43-98 / settings
+    //    n_covered). The reference counts after EVERY conjunction (one
+    //    SQL round-trip each); here conjunctions are applied in chunks —
+    //    one unioned Spark job + one count per chunk — preserving the
+    //    best-first budget semantics at a fraction of the job count.
+    val pairs = staged("pairs", Seq("records")) {
+      var acc: DataFrame = null
+      var covered = 0L
+      val chunks = conjunctions.grouped(8)
+      while (chunks.hasNext && covered < cfg.nCovered) {
+        val chunk = chunks.next()
+        val p = chunk.map(s => Blocking.candidatePairs(records,
+            learner.boundConjunction(s.conjunction), "conv_id",
+            cfg.maxBlockSize))
+          .reduce(_ unionByName _)
+          .dropDuplicates("id_l", "id_r")
+        acc = if (acc == null) p
+          else acc.unionByName(p.join(acc, Seq("id_l", "id_r"), "left_anti"))
+        acc = acc.localCheckpoint() // cut lineage per budget step
+        covered = acc.count()
+      }
+      acc
+    }
+
+    // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard)
+    val feats = staged("features", Seq("pairs", "records")) {
+      Distances.features(pairs, records)
+    }
+
+    // 7. score: logistic classifier trained on the labeled pairs
+    //    (M2/M3) or the deterministic rule score
+    val scored = staged("scores", Seq("features")) {
+      if (cfg.useMlClassifier) {
+        val labeledFeats = Distances.features(
+          labels.select("id_l", "id_r"), records)
+          .join(labels, Seq("id_l", "id_r"))
+        val model = MatchClassifier.train(labeledFeats, Distances.featureCols)
+        MatchClassifier.score(model, feats, Distances.featureCols)
+      } else {
+        Distances.ruleScore(feats).select("id_l", "id_r", "score")
+      }
+    }
+
+    // 8. threshold → edges → connected components (C1) + singletons (U3)
+    val edges = scored.filter(col("score") > cfg.threshold)
+    val (components, steps) = ConnectedComponents.run(edges)
+    val clusters = staged("clusters", Seq("scores", "records")) {
+      val singles = records.select(col("conv_id"))
+        .join(components.select(col("id").as("conv_id")),
+          Seq("conv_id"), "left_anti")
+        .select(col("conv_id").as("id"), col("conv_id").as("component"))
+      components.unionByName(singles)
+    }
+
+    Result(records, pairs, scored, clusters, conjunctions, steps)
+  }
+
+  /** J6: final result assembly — clusters joined back to records. */
+  def assemble(result: Result): DataFrame =
+    result.records.join(
+      result.clusters.withColumnRenamed("id", "conv_id"),
+      Seq("conv_id"), "left")
+      .orderBy(col("component"), col("conv_id"))
+
+  /** Pairwise F1 of predicted match pairs vs planted truth — the
+    * BASELINE.json gate (≥ 0.99).
+    */
+  def pairwiseF1(spark: SparkSession, sfDir: String, scored: DataFrame,
+                 threshold: Double = 0.8): (Double, Long, Long, Long) = {
+    val predicted = scored.filter(col("score") > threshold)
+      .select("id_l", "id_r").distinct().cache()
+    val truth = Labels.truthPairs(spark, sfDir).cache()
+    val tp = predicted.join(truth, Seq("id_l", "id_r"), "left_semi").count()
+    val fp = predicted.count() - tp
+    val fn = truth.count() - tp
+    val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val recall = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val f1 = if (precision + recall == 0) 0.0
+      else 2 * precision * recall / (precision + recall)
+    (f1, tp, fp, fn)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pair hydration + distance vectorization (reference J4 + M1:
+  * oagdedupe db/postgres/orm.py:26-96). Pairs are joined back to the
+  * records twice (aliased l/r) — no in-place UPDATE, just two joins the
+  * optimizer plans as broadcast or sort-merge depending on sizes — and
+  * each configured attribute becomes a similarity column named after
+  * the attribute (reference `{attr}` float columns, tables.py:249-265).
+  *
+  * Similarity per attribute: Jaro-Winkler (reference's metric) for the
+  * short attributes; full_text additionally gets normalized Levenshtein
+  * + token Jaccard (north star: "batched Jaro-Winkler/Levenshtein/
+  * TF-IDF-cosine similarity vectors").
+  *
+  * Scale note: the two hydration joins shuffle pairs by id — at
+  * 10^12-turn scale records are the big side, pairs the (relatively)
+  * small side; AQE picks the join shape. All similarity expressions are
+  * codegen'd (JaroWinklerExpr implements doGenCode; the rest are
+  * builtins), so the whole distance stage is one WholeStageCodegen pass.
+  */
+object Distances {
+
+  /** J4: attach `{attr}_l` / `{attr}_r` value columns to pairs. */
+  def hydrate(pairs: DataFrame, records: DataFrame, attrs: Seq[String],
+              idCol: String = "conv_id"): DataFrame = {
+    val l = records.select((col(idCol).as("id_l") +:
+      attrs.map(a => col(a).as(s"${a}_l"))): _*)
+    val r = records.select((col(idCol).as("id_r") +:
+      attrs.map(a => col(a).as(s"${a}_r"))): _*)
+    pairs.join(l, "id_l").join(r, "id_r")
+  }
+
+  /** M1: per-attribute JW distance columns on hydrated pairs. */
+  def jwDistances(hydrated: DataFrame, attrs: Seq[String]): DataFrame =
+    attrs.foldLeft(hydrated) { (df, a) =>
+      df.withColumn(a, Similarity.jw(col(s"${a}_l"), col(s"${a}_r")))
+    }
+
+  /** Full feature vector for the match classifier. */
+  val featureCols: Seq[String] =
+    Seq("jw_head", "jw_role", "jw_full", "lev_full", "jac_full")
+
+  def features(pairs: DataFrame, records: DataFrame,
+               idCol: String = "conv_id"): DataFrame = {
+    val attrs = Seq("head_text", "full_text", "role_seq")
+    val h = hydrate(pairs, records, attrs, idCol)
+    h.select(
+      col("id_l"), col("id_r"),
+      Similarity.jw(col("head_text_l"), col("head_text_r")).as("jw_head"),
+      Similarity.jw(col("role_seq_l"), col("role_seq_r")).as("jw_role"),
+      Similarity.jw(col("full_text_l"), col("full_text_r")).as("jw_full"),
+      Similarity.levSim(col("full_text_l"), col("full_text_r")).as("lev_full"),
+      Similarity.tokenJaccard(col("full_text_l"), col("full_text_r"))
+        .as("jac_full"))
+  }
+
+  /** Deterministic rule score: mean of the feature vector — the
+    * SQL-mirrorable scoring path (the spark.ml classifier is the
+    * learned path; both feed the same 0.8 threshold,
+    * cluster/cluster.py:24).
+    */
+  def ruleScore(featured: DataFrame): DataFrame =
+    featured.withColumn("score",
+      round((col("jw_head") + col("jw_role") + col("jw_full") +
+        col("lev_full") + col("jac_full")) / 5.0, 4))
+}

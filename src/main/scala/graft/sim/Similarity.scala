@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.GraftBridge
+
+/** String-similarity kernels for the distance stage (reference M1:
+  * oagdedupe db/postgres/orm.py:64-96 — Jaro-Winkler via the
+  * pg_similarity C extension, funcs.py:12-21).
+  *
+  * Jaro-Winkler here is the standard algorithm (prefix scale p = 0.1,
+  * max prefix 4, boost threshold 0.7) — pinned by golden tests to the
+  * values DuckDB's `jaro_winkler_similarity` produces, because DuckDB is
+  * the correctness oracle.
+  */
+object JaroWinkler {
+
+  def jaro(s1: String, s2: String): Double = {
+    val len1 = s1.length; val len2 = s2.length
+    if (len1 == 0 && len2 == 0) return 1.0
+    if (len1 == 0 || len2 == 0) return 0.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true; matched2(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mt = t / 2.0
+    (m.toDouble / len1 + m.toDouble / len2 + (m - mt) / m) / 3.0
+  }
+
+  /** Winkler boost: applied only when jaro > 0.7 (DuckDB semantics). */
+  def jaroWinkler(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) return j
+    var l = 0
+    val maxL = math.min(4, math.min(s1.length, s2.length))
+    while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}
+
+/** Native Catalyst expression with codegen — keeps the distance stage
+  * inside whole-stage codegen instead of a deserializing Scala UDF.
+  */
+case class JaroWinklerExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.jaroWinkler(
+      l.asInstanceOf[UTF8String].toString,
+      r.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.sim.JaroWinkler.jaroWinkler($a.toString(), $b.toString())")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object Similarity {
+
+  /** Jaro-Winkler similarity as a Column (codegen'd expression). */
+  def jw(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinklerExpr(GraftBridge.expr(a), GraftBridge.expr(b)))
+
+  /** Normalized Levenshtein similarity in [0,1] — builtin levenshtein
+    * (integer DP) over max length, exact across engines.
+    */
+  def levSim(a: Column, b: Column): Column =
+    when(length(a) === 0 && length(b) === 0, lit(1.0))
+      .otherwise(lit(1.0) -
+        levenshtein(a, b).cast("double") /
+          greatest(length(a), length(b)).cast("double"))
+
+  /** Token-set Jaccard over whitespace tokens — pure builtins. */
+  def tokenJaccard(a: Column, b: Column): Column = {
+    val ta = array_distinct(filter(split(a, " "), w => w =!= ""))
+    val tb = array_distinct(filter(split(b, " "), w => w =!= ""))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    val uni = size(array_union(ta, tb)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+
+  /** DuckDB SQL mirrors (same rounding applied at the call site). */
+  def levSimSql(a: String, b: String): String =
+    s"CASE WHEN length($a) = 0 AND length($b) = 0 THEN 1.0 " +
+      s"ELSE 1.0 - CAST(levenshtein($a, $b) AS DOUBLE) / " +
+      s"greatest(length($a), length($b)) END"
+
+  def jwSql(a: String, b: String): String =
+    s"jaro_winkler_similarity($a, $b)"
+}

@@ -1,0 +1,65 @@
+package graft.sim
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+import org.apache.spark.sql.functions.col
+
+/** Golden values pinned to DuckDB 1.0.0 `jaro_winkler_similarity`
+  * (the correctness oracle; probed 2026-08-16): standard Jaro-Winkler,
+  * prefix scale 0.1, max prefix 4, boost threshold 0.7 — same family as
+  * the reference's pg_similarity C implementation (orm.py:70-74).
+  */
+class JaroWinklerSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val golden = Seq(
+    ("martha", "marhta", 0.9611111111111111),
+    ("DWAYNE", "DUANE", 0.8400000000000001),
+    ("abc", "abc", 1.0),
+    ("", "abc", 0.0),
+    ("abcdefgh", "abzzzzzz", 0.5),
+    ("aaaaaa", "aazzzz", 0.5555555555555555),
+    ("ab", "ba", 0.0),
+    ("a", "", 0.0),
+    ("a", "a", 1.0),
+    ("abcdefgh", "abcdefgz", 0.95),
+    ("prefixes", "prefixzz", 0.9),
+    ("xy", "yx", 0.0),
+    ("12345", "12354", 0.9533333333333333),
+    ("order 1", "order 2", 0.9428571428571428),
+    ("aaaaaaaaaa", "aaaaabbbbb", 0.6666666666666666),
+    ("ABC", "abc", 0.0))
+
+  test("scala kernel matches DuckDB golden values exactly") {
+    golden.foreach { case (a, b, expect) =>
+      val got = JaroWinkler.jaroWinkler(a, b)
+      assert(got == expect, s"jw($a, $b): got $got expected $expect")
+    }
+  }
+
+  test("symmetry") {
+    golden.foreach { case (a, b, _) =>
+      assert(JaroWinkler.jaroWinkler(a, b) == JaroWinkler.jaroWinkler(b, a))
+    }
+  }
+
+  test("catalyst expression path (codegen) agrees with the kernel") {
+    val df = golden.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+    val got = df.select(Similarity.jw(col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == golden.map(_._3))
+  }
+
+  test("levSim golden") {
+    val df = Seq(("kitten", "sitting")).toDF("a", "b")
+    val got = df.select(Similarity.levSim(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - (1.0 - 3.0 / 7.0)) < 1e-12)
+  }
+
+  test("tokenJaccard golden") {
+    val df = Seq(("a b c", "b c d")).toDF("a", "b")
+    val got = df.select(Similarity.tokenJaccard(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(got == 0.5)
+  }
+}
