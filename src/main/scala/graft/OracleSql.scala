@@ -1,0 +1,105 @@
+package graft
+
+import graft.synth.Transcripts
+import graft.normalize.Normalize
+
+/** DuckDB oracle SQL builders shared by SparkEntry.oracleSql.
+  *
+  * Every transcript-based oracle query starts from the same two CTEs:
+  * `transcripts` (derived from orders ⋈ lineitem exactly like
+  * graft.synth.Transcripts) and `normalized` (the per-conversation
+  * signature records exactly like graft.normalize.Normalize).
+  */
+object OracleSql {
+
+  val preamble: String =
+    "WITH " + Transcripts.oracleCte + ",\nnormalized AS (\n" +
+      Normalize.oracleSelect + "\n)"
+
+  def withNormalized(extraCtes: Seq[String], select: String): String = {
+    val ctes = if (extraCtes.isEmpty) "" else extraCtes.mkString(",\n", ",\n", "")
+    s"$preamble$ctes\n$select"
+  }
+
+  /** char n-gram list comprehension (range is upper-exclusive):
+    * empty list when len < n — mirrors graft.block.FindNgrams. */
+  def ngramList(attr: String, n: Int): String =
+    s"[substring($attr, i, $n) FOR i IN range(1, greatest(length($attr) - ${n - 2}, 1))]"
+
+  /** signatures CTE for a first_nchars(n) conjunction on one attribute. */
+  def prefixSignatures(attr: String, n: Int): String =
+    s"""signatures AS (
+       |  SELECT conv_id, substring($attr, 1, $n) AS sig_0 FROM normalized
+       |  WHERE substring($attr, 1, $n) != ''
+       |)""".stripMargin
+
+  /** signatures CTE for an n-gram (set-overlap) conjunction. */
+  def ngramSignatures(attr: String, n: Int): String =
+    s"""signatures AS (
+       |  SELECT conv_id, unnest(${ngramList(attr, n)}) AS sig_0
+       |  FROM normalized
+       |)""".stripMargin
+
+  /** capped candidate-pair CTEs over a `signatures(conv_id, sig_0...)`
+    * CTE — mirror of graft.block.Blocking.{capHotSignatures,
+    * candidatePairs}. */
+  def cappedPairs(nSigs: Int, cap: Int): String = {
+    val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
+    val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i").mkString(" AND ")
+    s"""capped AS (
+       |  SELECT * FROM signatures WHERE ($sigs) IN (
+       |    SELECT ($sigs) FROM signatures GROUP BY $sigs
+       |    HAVING count(*) <= $cap)
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+       |  FROM capped l JOIN capped r ON $eqs AND l.conv_id < r.conv_id
+       |)""".stripMargin
+  }
+
+  /** labels CTE (graft.block.Labels.plantedLabels). */
+  val labelsCte: String =
+    "labels AS (\n" + graft.block.Labels.oracleSelect + "\n)"
+
+  /** per-pair similarity feature columns over a pairs CTE hydrated from
+    * `normalized` — each quantized with floor(x·10⁴)/10⁴ (exact double
+    * ops; decimal round() half-tie handling differs between engines). */
+  val featureSelect: String =
+    """hydrated AS (
+      |  SELECT p.id_l, p.id_r,
+      |         l.head_text AS head_l, r.head_text AS head_r,
+      |         l.role_seq AS role_l, r.role_seq AS role_r,
+      |         l.full_text AS full_l, r.full_text AS full_r
+      |  FROM pairs p
+      |  JOIN normalized l ON p.id_l = l.conv_id
+      |  JOIN normalized r ON p.id_r = r.conv_id
+      |),
+      |features AS (
+      |  SELECT id_l, id_r,
+      |    floor(jaro_winkler_similarity(head_l, head_r) * 10000.0) / 10000.0 AS jw_head,
+      |    floor(jaro_winkler_similarity(role_l, role_r) * 10000.0) / 10000.0 AS jw_role,
+      |    floor(jaro_winkler_similarity(full_l, full_r) * 10000.0) / 10000.0 AS jw_full,
+      |    floor((CASE WHEN length(full_l) = 0 AND length(full_r) = 0 THEN 1.0
+      |         ELSE 1.0 - CAST(levenshtein(full_l, full_r) AS DOUBLE) /
+      |              greatest(length(full_l), length(full_r)) END) * 10000.0) / 10000.0 AS lev_full,
+      |    floor((CASE WHEN length(list_distinct(list_concat(
+      |           list_filter(string_split(full_l, ' '), w -> w != ''),
+      |           list_filter(string_split(full_r, ' '), w -> w != '')))) = 0 THEN 1.0
+      |         ELSE CAST(length(list_intersect(
+      |           list_distinct(list_filter(string_split(full_l, ' '), w -> w != '')),
+      |           list_distinct(list_filter(string_split(full_r, ' '), w -> w != '')))) AS DOUBLE) /
+      |           length(list_distinct(list_concat(
+      |           list_filter(string_split(full_l, ' '), w -> w != ''),
+      |           list_filter(string_split(full_r, ' '), w -> w != '')))) END) * 10000.0) / 10000.0 AS jac_full
+      |  FROM hydrated
+      |)""".stripMargin
+
+  /** deterministic rule score (graft.sim.Distances.ruleScore over
+    * quantized features). */
+  val ruleScoreCte: String =
+    """scored AS (
+      |  SELECT id_l, id_r,
+      |    floor(((jw_head + jw_role + jw_full + lev_full + jac_full) / 5.0) * 10000.0) / 10000.0 AS score
+      |  FROM features
+      |)""".stripMargin
+}

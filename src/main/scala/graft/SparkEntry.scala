@@ -1,13 +1,240 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.block.{Blocking, BoundScheme, FirstNChars, FindNgrams, Acronym, ExactMatch, LastNChars, Labels}
+import graft.cluster.ConnectedComponents
+import graft.normalize.Normalize
+import graft.pipeline.Dedupe
+import graft.sim.Distances
+import graft.synth.Transcripts
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with DuckDB-equivalent SQL in `oracleSql` for every
+  * SQL-expressible operator. Column names/aliases match pairwise (the
+  * driver's compare sorts columns by name and hashes values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // fixed blocking conjunctions used by the oracle-checked queries (the
+  // LEARNED conjunctions are exercised by entry/RunDedupe + scalatest —
+  // the learner is a driver-side algorithm, not a SQL-expressible op)
+  private val prefix8Head = Seq(BoundScheme(FirstNChars(8), "head_text"))
+  private val twoScheme = Seq(BoundScheme(FirstNChars(6), "head_text"),
+    BoundScheme(Acronym, "role_seq"))
+  private val ngram6Head = Seq(BoundScheme(FindNgrams(6), "head_text"))
+  private val Cap = Blocking.DefaultMaxBlockSize
+
+  private def records(s: SparkSession, dir: String): DataFrame =
+    Normalize.normalize(Transcripts.transcripts(s, dir))
+
+  private def rulePairsScored(s: SparkSession, dir: String): DataFrame = {
+    val recs = records(s, dir)
+    val pairs = Blocking.candidatePairs(recs, prefix8Head, "conv_id", Cap)
+    Distances.ruleScore(Distances.features(pairs, recs))
+      .select("id_l", "id_r", "score")
+  }
+
+  /** Flagship: fixed-conjunction end-to-end dedupe (pairs → features →
+    * rule score → threshold → connected components → join-back) on
+    * sf=0.001. The learned-blocking variant is graft.RunDedupe.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val recs = records(spark, dir)
+    val scored = rulePairsScored(spark, dir)
+    val (comps, _) = ConnectedComponents.run(
+      scored.filter(col("score") > 0.8))
+    recs.join(comps.withColumnRenamed("id", "conv_id"), Seq("conv_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("conv_id")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1/synth: deterministic transcript corpus (input_hint schema)
+    "q01_transcripts" -> ((s, dir) => Transcripts.transcripts(s, dir)),
+
+    // A (typed-dataset agg): per-conversation signature records with
+    // stable turn ordering
+    "q02_normalize" -> ((s, dir) => records(s, dir)),
+
+    // label synthesis (initialize.py:117-135 analog)
+    "q03_labels" -> ((s, dir) => Labels.plantedLabels(s, dir)),
+
+    // P1: forward index (scalar schemes)
+    "q04_forward_index" -> ((s, dir) =>
+      Blocking.forwardIndex(records(s, dir), Seq(
+        BoundScheme(FirstNChars(4), "head_text"),
+        BoundScheme(LastNChars(4), "head_text"),
+        BoundScheme(Acronym, "role_seq"),
+        BoundScheme(ExactMatch, "tool_set")))),
+
+    // G1: inverted index (n-gram explode)
+    "q05_inverted_index" -> ((s, dir) =>
+      Blocking.invertedIndex(records(s, dir), ngram6Head)),
+
+    // J1: candidate self-join pairs, equality conjunction, skew-capped
+    "q06_candidate_pairs" -> ((s, dir) =>
+      Blocking.candidatePairs(records(s, dir), prefix8Head, "conv_id", Cap)),
+
+    // J1 2-scheme conjunction
+    "q07_pairs_conjunction" -> ((s, dir) =>
+      Blocking.candidatePairs(records(s, dir), twoScheme, "conv_id", Cap)),
+
+    // J1 set-overlap (n-gram) blocking
+    "q08_pairs_ngram" -> ((s, dir) =>
+      Blocking.candidatePairs(records(s, dir), ngram6Head, "conv_id", Cap)),
+
+    // J3+A1+A2: conjunction stats (pairs ⟕ labels, conditional agg)
+    "q09_conj_stats" -> ((s, dir) => {
+      val pairs = Blocking.candidatePairs(records(s, dir), prefix8Head,
+        "conv_id", Cap)
+      pairs.join(Labels.plantedLabels(s, dir), Seq("id_l", "id_r"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("label") === 1, 1L)), lit(0L)).as("positives"),
+          coalesce(sum(when(col("label") === 0, 1L)), lit(0L)).as("negatives"))
+    }),
+
+    // J4+M1: pair hydration + similarity distance vector on labels
+    "q10_distances" -> ((s, dir) =>
+      Distances.features(
+        Labels.plantedLabels(s, dir).select("id_l", "id_r"),
+        records(s, dir))),
+
+    // M3 (deterministic path): rule score over blocked pairs
+    "q11_scores" -> ((s, dir) => rulePairsScored(s, dir)),
+
+    // P3: threshold filter (score > 0.8, cluster/cluster.py:24)
+    "q12_edges" -> ((s, dir) =>
+      rulePairsScored(s, dir).filter(col("score") > 0.8)),
+
+    // C1: connected components over thresholded edges
+    "q13_clusters" -> ((s, dir) => {
+      val edges = rulePairsScored(s, dir).filter(col("score") > 0.8)
+      ConnectedComponents.run(edges)._1
+    }),
+
+    // J6+U3: cluster join-back with singleton components
+    "q14_cluster_joinback" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val edges = rulePairsScored(s, dir).filter(col("score") > 0.8)
+      val comps = ConnectedComponents.run(edges)._1
+      recs.select("conv_id", "n_turns")
+        .join(comps.withColumnRenamed("id", "conv_id"), Seq("conv_id"), "left")
+        .select(col("conv_id"),
+          coalesce(col("component"), col("conv_id")).as("component"),
+          col("n_turns"))
+    }),
+
+    // O4: uncertainty top-k (active-learning query step)
+    "q15_uncertainty_topk" -> ((s, dir) =>
+      rulePairsScored(s, dir)
+        .orderBy(abs(col("score") - 0.5), col("id_l"), col("id_r"))
+        .limit(10)))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_transcripts" -> ("WITH " + Transcripts.oracleCte +
+      "\nSELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts"),
+
+    "q02_normalize" -> OracleSql.withNormalized(Nil,
+      "SELECT * FROM normalized"),
+
+    "q03_labels" -> graft.block.Labels.oracleSelect,
+
+    "q04_forward_index" -> OracleSql.withNormalized(Nil,
+      s"""SELECT conv_id,
+         |  ${FirstNChars(4).sql("head_text")} AS first_nchars_4_head_text,
+         |  ${LastNChars(4).sql("head_text")} AS last_nchars_4_head_text,
+         |  ${Acronym.sql("role_seq")} AS acronym_role_seq,
+         |  tool_set AS exactmatch_tool_set
+         |FROM normalized""".stripMargin),
+
+    "q05_inverted_index" -> OracleSql.withNormalized(Nil,
+      s"""SELECT conv_id, sig_0 FROM (
+         |  SELECT conv_id, unnest(${OracleSql.ngramList("head_text", 6)}) AS sig_0
+         |  FROM normalized) WHERE sig_0 IS NOT NULL AND sig_0 != ''""".stripMargin),
+
+    "q06_candidate_pairs" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap)),
+      "SELECT id_l, id_r FROM pairs"),
+
+    "q07_pairs_conjunction" -> OracleSql.withNormalized(
+      Seq(
+        s"""signatures AS (
+           |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
+           |         ${Acronym.sql("role_seq")} AS sig_1
+           |  FROM normalized
+           |  WHERE substring(head_text, 1, 6) != ''
+           |    AND ${Acronym.sql("role_seq")} != ''
+           |)""".stripMargin,
+        OracleSql.cappedPairs(2, Cap)),
+      "SELECT id_l, id_r FROM pairs"),
+
+    "q08_pairs_ngram" -> OracleSql.withNormalized(
+      Seq(OracleSql.ngramSignatures("head_text", 6),
+        OracleSql.cappedPairs(1, Cap)),
+      "SELECT id_l, id_r FROM pairs"),
+
+    "q09_conj_stats" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
+      """SELECT count(*) AS n_pairs,
+        |  CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 END), 0) AS BIGINT) AS positives,
+        |  CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 END), 0) AS BIGINT) AS negatives
+        |FROM pairs p LEFT JOIN labels l
+        |  ON p.id_l = l.id_l AND p.id_r = l.id_r""".stripMargin),
+
+    "q10_distances" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte,
+        "pairs AS (SELECT id_l, id_r FROM labels)",
+        OracleSql.featureSelect),
+      "SELECT * FROM features"),
+
+    "q11_scores" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+        OracleSql.ruleScoreCte),
+      "SELECT * FROM scored"),
+
+    "q12_edges" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+        OracleSql.ruleScoreCte),
+      "SELECT * FROM scored WHERE score > 0.8"),
+
+    // q13_clusters / q14_cluster_joinback are in recursiveOracles
+    // (they need a WITH RECURSIVE prefix)
+
+    "q15_uncertainty_topk" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+        OracleSql.ruleScoreCte),
+      """SELECT id_l, id_r, score FROM scored
+        |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin)
+  ) ++ recursiveOracles
+
+  /** q13/q14 need WITH RECURSIVE, which must prefix the whole WITH
+    * clause — assembled separately. */
+  private def recursiveOracles: Map[String, String] = {
+    val commonCtes = Seq(
+      Transcripts.oracleCte,
+      "normalized AS (\n" + Normalize.oracleSelect + "\n)",
+      OracleSql.prefixSignatures("head_text", 8),
+      OracleSql.cappedPairs(1, Cap),
+      OracleSql.featureSelect,
+      OracleSql.ruleScoreCte,
+      "edges AS (SELECT id_l, id_r FROM scored WHERE score > 0.8)",
+      ConnectedComponents.oracleSql.stripSuffix(
+        "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"))
+    val prefix = "WITH RECURSIVE " + commonCtes.mkString(",\n")
+    Map(
+      "q13_clusters" -> (prefix +
+        "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"),
+      "q14_cluster_joinback" -> (prefix +
+        """,
+          |components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)
+          |SELECT n.conv_id, coalesce(comp.component, n.conv_id) AS component,
+          |       n.n_turns
+          |FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id""".stripMargin))
+  }
 }

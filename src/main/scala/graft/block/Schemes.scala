@@ -49,9 +49,10 @@ final case class FindNgrams(n: Int) extends Scheme {
       transform(sequence(lit(1), length(col(attr)) - lit(n - 1)),
         i => substring(col(attr), i, lit(n))))
       .otherwise(array().cast("array<string>"))
-  /** element-wise SQL used by the oracle's lateral explode. */
+  /** DuckDB list comprehension (range is upper-exclusive; empty when
+    * len < n). */
   def sql(attr: String) =
-    s"[substring($attr, i, $n) FOR i IN range(1, length($attr) - ${n - 2})]"
+    s"[substring($attr, i, $n) FOR i IN range(1, greatest(length($attr) - ${n - 2}, 1))]"
 }
 
 /** first char of each whitespace token, concatenated — funcs.py:53-61. */

@@ -47,15 +47,24 @@ object Distances {
                idCol: String = "conv_id"): DataFrame = {
     val attrs = Seq("head_text", "full_text", "role_seq")
     val h = hydrate(pairs, records, attrs, idCol)
+    // each feature quantized via floor(x·10⁴)/10⁴ — IEEE-exact in both
+    // engines (unlike decimal round(), whose half-tie handling differs
+    // between Spark and DuckDB), so identical raw doubles quantize
+    // identically
     h.select(
       col("id_l"), col("id_r"),
-      Similarity.jw(col("head_text_l"), col("head_text_r")).as("jw_head"),
-      Similarity.jw(col("role_seq_l"), col("role_seq_r")).as("jw_role"),
-      Similarity.jw(col("full_text_l"), col("full_text_r")).as("jw_full"),
-      Similarity.levSim(col("full_text_l"), col("full_text_r")).as("lev_full"),
-      Similarity.tokenJaccard(col("full_text_l"), col("full_text_r"))
+      q4(Similarity.jw(col("head_text_l"), col("head_text_r"))).as("jw_head"),
+      q4(Similarity.jw(col("role_seq_l"), col("role_seq_r"))).as("jw_role"),
+      q4(Similarity.jw(col("full_text_l"), col("full_text_r"))).as("jw_full"),
+      q4(Similarity.levSim(col("full_text_l"), col("full_text_r")))
+        .as("lev_full"),
+      q4(Similarity.tokenJaccard(col("full_text_l"), col("full_text_r")))
         .as("jac_full"))
   }
+
+  /** floor-quantization to 4 digits (exact double ops, engine-portable). */
+  def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(10000.0)) / lit(10000.0)
 
   /** Deterministic rule score: mean of the feature vector — the
     * SQL-mirrorable scoring path (the spark.ml classifier is the
@@ -64,6 +73,6 @@ object Distances {
     */
   def ruleScore(featured: DataFrame): DataFrame =
     featured.withColumn("score",
-      round((col("jw_head") + col("jw_role") + col("jw_full") +
-        col("lev_full") + col("jac_full")) / 5.0, 4))
+      q4((col("jw_head") + col("jw_role") + col("jw_full") +
+        col("lev_full") + col("jac_full")) / 5.0))
 }

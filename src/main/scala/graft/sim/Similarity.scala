@@ -21,7 +21,8 @@ object JaroWinkler {
 
   def jaro(s1: String, s2: String): Double = {
     val len1 = s1.length; val len2 = s2.length
-    if (len1 == 0 && len2 == 0) return 1.0
+    // DuckDB (the oracle) returns 0 when EITHER side is empty,
+    // including both-empty
     if (len1 == 0 || len2 == 0) return 0.0
     val window = math.max(math.max(len1, len2) / 2 - 1, 0)
     val matched1 = new Array[Boolean](len1)
@@ -54,8 +55,11 @@ object JaroWinkler {
       }
       i += 1
     }
-    val mt = t / 2.0
-    (m.toDouble / len1 + m.toDouble / len2 + (m - mt) / m) / 3.0
+    // DuckDB counts transposition pairs with INTEGER division (an odd
+    // trailing mismatch is dropped) — pinned bit-exact on 8000 random
+    // cases against jaro_winkler_similarity
+    val mt = t / 2
+    (m.toDouble / len1 + m.toDouble / len2 + (m - mt).toDouble / m) / 3.0
   }
 
   /** Winkler boost: applied only when jaro > 0.7 (DuckDB semantics). */

@@ -1,6 +1,7 @@
 package graft.synth
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic multi-turn transcript corpus, derived purely from the
@@ -11,11 +12,17 @@ import org.apache.spark.sql.functions._
   *   (conv_id:string, turn_idx:int, role:string, text:string,
   *    tool:string, ts:timestamp)
   *
-  * One conversation per order; one turn per lineitem (ordered by
-  * l_linenumber). Every 10th order is re-emitted as a planted
-  * NEAR-DUPLICATE conversation (`d<key>` vs `c<key>`) whose turn texts
-  * are perturbed by dropping the last 3 characters — ground-truth match
-  * pairs are therefore (c<k>, d<k>) for k % 10 == 0.
+  * One conversation per order; one turn per lineitem. `turn_idx` is a
+  * dense 0-based row_number over the deterministic total order
+  * (l_linenumber, l_partkey, l_suppkey) — l_linenumber alone is NOT
+  * unique in this synthetic data, and a non-total order would make
+  * "stable turn ordering" engine-dependent. Turn text embeds the order
+  * key (a session id), making conversations textually unique.
+  *
+  * Every 10th order is re-emitted as a planted NEAR-DUPLICATE
+  * conversation (`d<key>` vs `c<key>`) whose turn texts are perturbed by
+  * dropping the last 3 characters — ground-truth match pairs are
+  * therefore (c<k>, d<k>) for k % 10 == 0.
   *
   * Reference analog: the seeded-Faker fixtures of
   * oagdedupe tests/db/postgres/test_orm_initialize.py (seed 0) — a
@@ -30,13 +37,17 @@ object Transcripts {
     val orders   = spark.read.parquet(s"$sfDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
 
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+
     val base = orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
       .select(
         concat(lit("c"), col("o_orderkey").cast("string")).as("conv_id"),
-        (col("l_linenumber") - lit(1)).as("turn_idx"),
-        when(col("l_linenumber") % 3 === 1, lit("user"))
-          .when(col("l_linenumber") % 3 === 2, lit("assistant"))
+        col("turn_idx"),
+        when(col("turn_idx") % 3 === 0, lit("user"))
+          .when(col("turn_idx") % 3 === 1, lit("assistant"))
           .otherwise(lit("tool")).as("role"),
         concat(
           lit("i"), col("l_partkey").cast("string"),
@@ -45,7 +56,7 @@ object Transcripts {
           lit(" o"), col("o_orderkey").cast("string"),
           lit(" "), col("l_returnflag"), col("l_linestatus"),
           lit(" p"), col("o_orderpriority")).as("text"),
-        when(col("l_linenumber") % 3 === 0,
+        when(col("turn_idx") % 3 === 2,
           concat(lit("t"), (col("l_suppkey") % 7).cast("string")))
           .otherwise(lit("")).as("tool"),
         col("l_shipdate").as("ts"),
@@ -64,33 +75,46 @@ object Transcripts {
     base.unionByName(dups).drop("_okey")
   }
 
-  /** DuckDB CTE producing the identical table; prepended to every
-    * transcript-based oracle query as `WITH transcripts AS (...)`.
+  /** DuckDB sibling CTEs producing the identical table. Two flat CTEs
+    * (no nested WITH — that breaks inside WITH RECURSIVE): prepend as
+    * `WITH <oracleCte>` and select from `transcripts`.
     */
   val oracleCte: String =
-    """transcripts AS (
-      |  WITH base AS (
-      |    SELECT 'c' || CAST(o_orderkey AS VARCHAR) AS conv_id,
-      |           l_linenumber - 1 AS turn_idx,
-      |           CASE l_linenumber % 3 WHEN 1 THEN 'user'
-      |                WHEN 2 THEN 'assistant' ELSE 'tool' END AS role,
-      |           'i' || CAST(l_partkey AS VARCHAR)
-      |             || ' s' || CAST(l_suppkey AS VARCHAR)
-      |             || ' q' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
-      |             || ' o' || CAST(o_orderkey AS VARCHAR)
-      |             || ' ' || l_returnflag || l_linestatus
-      |             || ' p' || o_orderpriority AS text,
-      |           CASE WHEN l_linenumber % 3 = 0
-      |                THEN 't' || CAST(l_suppkey % 7 AS VARCHAR)
-      |                ELSE '' END AS tool,
-      |           l_shipdate AS ts,
-      |           o_orderkey AS _okey
-      |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-      |  )
-      |  SELECT conv_id, turn_idx, role, text, tool, ts FROM base
+    """t_base AS (
+      |  SELECT 'c' || CAST(o_orderkey AS VARCHAR) AS conv_id,
+      |         CAST(row_number() OVER (PARTITION BY o_orderkey
+      |             ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS INT)
+      |           AS turn_idx,
+      |         'i' || CAST(l_partkey AS VARCHAR)
+      |           || ' s' || CAST(l_suppkey AS VARCHAR)
+      |           || ' q' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+      |           || ' o' || CAST(o_orderkey AS VARCHAR)
+      |           || ' ' || l_returnflag || l_linestatus
+      |           || ' p' || o_orderpriority AS text,
+      |         l_suppkey AS _skey,
+      |         l_shipdate AS ts,
+      |         o_orderkey AS _okey
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |),
+      |transcripts AS (
+      |  SELECT conv_id, turn_idx,
+      |         CASE turn_idx % 3 WHEN 0 THEN 'user'
+      |              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+      |         text,
+      |         CASE WHEN turn_idx % 3 = 2
+      |              THEN 't' || CAST(_skey % 7 AS VARCHAR)
+      |              ELSE '' END AS tool,
+      |         ts
+      |  FROM t_base
       |  UNION ALL
-      |  SELECT 'd' || CAST(_okey AS VARCHAR), turn_idx, role,
-      |         substring(text, 1, length(text) - 3), tool, ts
-      |  FROM base WHERE _okey % 10 = 0
+      |  SELECT 'd' || CAST(_okey AS VARCHAR), turn_idx,
+      |         CASE turn_idx % 3 WHEN 0 THEN 'user'
+      |              WHEN 1 THEN 'assistant' ELSE 'tool' END,
+      |         substring(text, 1, length(text) - 3),
+      |         CASE WHEN turn_idx % 3 = 2
+      |              THEN 't' || CAST(_skey % 7 AS VARCHAR)
+      |              ELSE '' END,
+      |         ts
+      |  FROM t_base WHERE _okey % 10 = 0
       |)""".stripMargin
 }

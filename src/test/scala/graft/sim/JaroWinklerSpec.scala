@@ -17,6 +17,9 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSuite {
     ("DWAYNE", "DUANE", 0.8400000000000001),
     ("abc", "abc", 1.0),
     ("", "abc", 0.0),
+    ("", "", 0.0), // DuckDB: either side empty → 0
+    ("bca", "adbcec", 0.7222222222222222), // integer transposition halving
+    ("bedd", "edbc d", 0.8055555555555555),
     ("abcdefgh", "abzzzzzz", 0.5),
     ("aaaaaa", "aazzzz", 0.5555555555555555),
     ("ab", "ba", 0.0),
