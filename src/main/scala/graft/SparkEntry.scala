@@ -129,7 +129,60 @@ object SparkEntry {
     "q15_uncertainty_topk" -> ((s, dir) =>
       rulePairsScored(s, dir)
         .orderBy(abs(col("score") - 0.5), col("id_l"), col("id_r"))
-        .limit(10)))
+        .limit(10)),
+
+    // ---- training-data pipeline operators (documents/embeddings) ----
+
+    // exact dedup via hash-groupBy
+    "q20_doc_exact_dup" -> ((s, dir) =>
+      graft.text.TextOps.exactDupGroups(graft.text.TextOps.corpus(s, dir))),
+
+    // token counting (whitespace + regex tokenizers)
+    "q21_doc_token_stats" -> ((s, dir) =>
+      graft.text.TextOps.tokenStats(graft.text.TextOps.corpus(s, dir))),
+
+    // quality scoring (stopword/diversity/length features)
+    "q22_doc_quality" -> ((s, dir) =>
+      graft.text.TextOps.quality(graft.text.TextOps.corpus(s, dir))),
+
+    // language-ID heuristic
+    "q23_doc_langid" -> ((s, dir) =>
+      graft.text.TextOps.langId(graft.text.TextOps.corpus(s, dir))),
+
+    // document fingerprinting (shingle digest)
+    "q24_doc_fingerprint" -> ((s, dir) =>
+      graft.text.TextOps.fingerprint(graft.text.TextOps.corpus(s, dir))),
+
+    // SimHash fingerprint
+    "q25_doc_simhash" -> ((s, dir) =>
+      graft.text.TextOps.simhash(graft.text.TextOps.corpus(s, dir))),
+
+    // MinHash + LSH near-dup pairs (band join + Jaccard verify)
+    "q26_doc_minhash_pairs" -> ((s, dir) =>
+      graft.text.TextOps.minhashPairs(graft.text.TextOps.corpus(s, dir))),
+
+    // char n-gram Jaccard near-dup (prefix-blocked)
+    "q27_doc_ngram_jaccard" -> ((s, dir) =>
+      graft.text.TextOps.ngramJaccardPairs(graft.text.TextOps.corpus(s, dir))),
+
+    // embedding vector stats
+    "q30_emb_stats" -> ((s, dir) =>
+      graft.emb.EmbeddingOps.vectorStats(
+        graft.emb.EmbeddingOps.embeddings(s, dir))),
+
+    // brute-force cosine top-k (ANN baseline)
+    "q31_ann_topk" -> ((s, dir) =>
+      graft.emb.EmbeddingOps.bruteForceTopK(
+        graft.emb.EmbeddingOps.embeddings(s, dir))),
+
+    // sign-bit LSH bucketed near-dup (ANN scale path)
+    "q32_emb_lsh_pairs" -> ((s, dir) =>
+      graft.emb.EmbeddingOps.lshNearDup(
+        graft.emb.EmbeddingOps.embeddings(s, dir))),
+
+    // multimodal: binary payload + batched stub decode (mapPartitions)
+    "q40_media_features" -> ((s, dir) =>
+      graft.media.MediaOps.mediaFeatures(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> ("WITH " + Transcripts.oracleCte +
@@ -210,8 +263,26 @@ object SparkEntry {
         OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
         OracleSql.ruleScoreCte),
       """SELECT id_l, id_r, score FROM scored
-        |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin)
+        |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin),
+
+    "q20_doc_exact_dup" -> docOracle(graft.text.TextOps.exactDupSql),
+    "q21_doc_token_stats" -> docOracle(graft.text.TextOps.tokenStatsSql),
+    "q22_doc_quality" -> docOracle(graft.text.TextOps.qualitySql),
+    "q23_doc_langid" -> docOracle(graft.text.TextOps.langIdSql),
+    "q24_doc_fingerprint" -> docOracle(graft.text.TextOps.fingerprintSql),
+    "q25_doc_simhash" -> docOracle(graft.text.TextOps.simhashSql),
+    "q26_doc_minhash_pairs" -> ("WITH " + graft.text.TextOps.corpusCte +
+      ",\n" + graft.text.TextOps.minhashPairsSql()),
+    "q27_doc_ngram_jaccard" -> ("WITH " + graft.text.TextOps.corpusCte +
+      ",\n" + graft.text.TextOps.ngramJaccardSql()),
+    "q30_emb_stats" -> graft.emb.EmbeddingOps.vectorStatsSql,
+    "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
+    "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
+    "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql
   ) ++ recursiveOracles
+
+  private def docOracle(select: String): String =
+    "WITH " + graft.text.TextOps.corpusCte + "\n" + select
 
   /** q13/q14 need WITH RECURSIVE, which must prefix the whole WITH
     * clause — assembled separately. */

@@ -1,0 +1,362 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over the `documents` table:
+  * exact/near deduplication (hash, MinHash+LSH, SimHash, n-gram
+  * Jaccard), token statistics, quality scoring, language-ID heuristic,
+  * document fingerprinting. All pure built-in Catalyst expressions
+  * (codegen'd end-to-end), each mirrored in DuckDB oracle SQL.
+  *
+  * The driver's `documents` corpus contains no duplicates, so dedupe
+  * operators run over [[corpus]]: documents ∪ planted copies — every
+  * 7th doc re-emitted verbatim (exact dup) and every 5th doc re-emitted
+  * with the last 10 chars dropped (near dup). Deterministic and
+  * SQL-derivable, like the transcript corpus.
+  */
+object TextOps {
+
+  // ---------- corpus ----------
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** documents + planted exact/near duplicates (dup ids offset by 10^6). */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select("doc_id", "text")
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text").substr(lit(1), greatest(length(col("text")) - 10, lit(1)))
+          .as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |         substring(text, 1, greatest(length(text) - 10, 1))
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  // ---------- exact dedup (hash-groupBy) ----------
+
+  /** (doc_id, content_hash, canonical_id, group_size): canonical = min
+    * doc_id per identical md5(text). One shuffle on the hash.
+    */
+  def exactDupGroups(c: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    c.withColumn("content_hash", md5(col("text")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select("doc_id", "content_hash", "canonical_id", "group_size")
+  }
+
+  val exactDupSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  count(*) OVER (PARTITION BY md5(text)) AS group_size
+      |FROM corpus""".stripMargin
+
+  // ---------- tokenization ----------
+
+  private def tokens(c: Column): Column =
+    filter(split(c, " "), w => w =!= "")
+
+  private val tokensSql = "list_filter(string_split(text, ' '), w -> w != '')"
+
+  /** whitespace tokens + BPE-ish regex tokens + char stats. */
+  def tokenStats(c: DataFrame): DataFrame =
+    c.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(array_distinct(tokens(col("text")))).as("n_distinct_tokens"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).as("n_regex_tokens"),
+      length(col("text")).as("n_chars"))
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length($tokensSql) AS INT) AS n_tokens,
+       |  CAST(length(list_distinct($tokensSql)) AS INT) AS n_distinct_tokens,
+       |  CAST(length(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS n_regex_tokens,
+       |  CAST(length(text) AS INT) AS n_chars
+       |FROM corpus""".stripMargin
+
+  // ---------- quality scoring ----------
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** length / stopword-ratio / lexical-diversity quality features +
+    * composite score. Quantized floor(x·10⁴)/10⁴ for engine parity.
+    */
+  def quality(c: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t).cast("double")
+    val stop = size(filter(t, w => w.isin(stopwords.map(lit(_)): _*)))
+      .cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") / greatest(n, lit(1.0))
+    val stopRatio = stop / greatest(n, lit(1.0))
+    val meanTokLen = (length(col("text")) - (size(t) - 1)).cast("double") /
+      greatest(n, lit(1.0))
+    c.select(
+      col("doc_id"),
+      q4(stopRatio).as("stopword_ratio"),
+      q4(distinctRatio).as("distinct_ratio"),
+      q4(meanTokLen).as("mean_token_len"),
+      q4((distinctRatio + stopRatio +
+        least(meanTokLen / lit(8.0), lit(1.0))) / 3.0).as("quality_score"))
+  }
+
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |  floor(stop / greatest(n, 1.0) * 10000.0) / 10000.0 AS stopword_ratio,
+       |  floor(dist / greatest(n, 1.0) * 10000.0) / 10000.0 AS distinct_ratio,
+       |  floor(mtl * 10000.0) / 10000.0 AS mean_token_len,
+       |  floor((dist / greatest(n, 1.0) + stop / greatest(n, 1.0) +
+       |         least(mtl / 8.0, 1.0)) / 3.0 * 10000.0) / 10000.0 AS quality_score
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length($tokensSql) AS DOUBLE) AS n,
+       |    CAST(length(list_filter($tokensSql,
+       |      w -> w IN ($stopwordsSqlList))) AS DOUBLE) AS stop,
+       |    CAST(length(list_distinct($tokensSql)) AS DOUBLE) AS dist,
+       |    CAST(length(text) - (length($tokensSql) - 1) AS DOUBLE) /
+       |      greatest(CAST(length($tokensSql) AS DOUBLE), 1.0) AS mtl
+       |  FROM corpus)""".stripMargin
+
+  // ---------- language-ID heuristic ----------
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  /** n-gram/stopword-marker language ID: marker-hit counts per language,
+    * argmax with deterministic tiebreak ('en' > 'es' > 'fr' order),
+    * 'und' when nothing fires. (The synthetic corpus is English-ish
+    * tech vocab, so this mostly exercises the operator shape.)
+    */
+  def langId(c: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val counts = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(t, w => w.isin(ms.map(lit(_)): _*)))
+    }
+    val best = counts.tail.foldLeft[
+      (Column, Column)]((lit(counts.head._1), counts.head._2)) {
+      case ((bl, bc), (lang, cnt)) =>
+        (when(cnt > bc, lit(lang)).otherwise(bl),
+          when(cnt > bc, cnt).otherwise(bc))
+    }
+    c.select(col("doc_id"),
+      when(best._2 > 0, best._1).otherwise(lit("und")).as("pred_lang"),
+      best._2.cast("int").as("marker_hits"))
+  }
+
+  val langIdSql: String = {
+    val cntExprs = langMarkers.map { case (lang, ms) =>
+      s"CAST(length(list_filter($tokensSql, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS c_$lang"
+    }.mkString(",\n    ")
+    """SELECT doc_id,
+      |  CASE WHEN best_c > 0 THEN best_l ELSE 'und' END AS pred_lang,
+      |  best_c AS marker_hits
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN c_fr > (CASE WHEN c_es > c_en THEN c_es ELSE c_en END)
+      |         THEN 'fr'
+      |         WHEN c_es > c_en THEN 'es' ELSE 'en' END AS best_l,
+      |    greatest(c_en, c_es, c_fr) AS best_c
+      |  FROM (
+      |    SELECT doc_id,
+      |    """.stripMargin + cntExprs + "\n    FROM corpus))"
+  }
+
+  // ---------- fingerprinting (shingle min-hash digest) ----------
+
+  private def shingles(k: Int): Column = {
+    val t = tokens(col("text"))
+    when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => array_join(slice(t, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shinglesSql(k: Int): String =
+    s"[array_to_string($tokensSql[i:i+${k - 1}], ' ') " +
+      s"FOR i IN range(1, greatest(length($tokensSql) - ${k - 2}, 1))]"
+
+  /** rolling-digest fingerprint: min/max md5 over token 5-gram shingles
+    * (winnowing-style content signature).
+    */
+  def fingerprint(c: DataFrame): DataFrame = {
+    val sh = shingles(5)
+    val hashes = transform(sh, s => md5(s))
+    c.select(col("doc_id"),
+      size(sh).as("n_shingles"),
+      array_min(hashes).as("fp_min"),
+      array_max(hashes).as("fp_max"))
+  }
+
+  val fingerprintSql: String =
+    s"""SELECT doc_id,
+       |  CAST(length(${shinglesSql(5)}) AS INT) AS n_shingles,
+       |  list_min([md5(s) FOR s IN ${shinglesSql(5)}]) AS fp_min,
+       |  list_max([md5(s) FOR s IN ${shinglesSql(5)}]) AS fp_max
+       |FROM corpus""".stripMargin
+
+  // ---------- SimHash ----------
+
+  /** 16-bit SimHash from per-token md5 nibbles: bit k set iff the
+    * majority of tokens have a high bit in hex digit k of their md5.
+    */
+  def simhash(c: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val bits = (0 until 16).map { k =>
+      val cnt = size(filter(t, w =>
+        substring(md5(w), k + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
+      when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
+    }
+    c.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bits = (0 until 16).map { k =>
+      s"""CASE WHEN 2 * length(list_filter($tokensSql,
+         |  w -> substring(md5(w), ${k + 1}, 1) IN
+         |  ('8','9','a','b','c','d','e','f'))) > length($tokensSql)
+         |  THEN ${1L << k} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+    s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM corpus"
+  }
+
+  // ---------- MinHash + LSH near-dup ----------
+
+  val MinHashFns = 8
+  val BandSize = 2
+
+  /** per-doc MinHash signature over token 3-gram shingles; hash_j =
+    * min(md5(j ++ ':' ++ shingle)) — md5 is the engine-portable hash
+    * family. (doc_id, h0..h7).
+    */
+  def minhashSignatures(c: DataFrame): DataFrame = {
+    val sh = shingles(3)
+    val cols = (0 until MinHashFns).map { j =>
+      array_min(transform(sh, s => md5(concat(lit(j.toString), lit(":"), s))))
+        .as(s"h$j")
+    }
+    c.filter(size(shingles(3)) > 0)
+      .select((col("doc_id") +: cols): _*)
+  }
+
+  /** LSH: band doc pairs sharing any (h_{2b}, h_{2b+1}) band, then
+    * verify true shingle-set Jaccard; near-dup = jaccard ≥ threshold.
+    * Band join is the scale path (no all-pairs); the verify step only
+    * touches banded candidates.
+    */
+  def minhashPairs(c: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(c).cache()
+    val bands = (0 until MinHashFns / BandSize).map { b =>
+      val keys = Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+      val l = sig.select(col("doc_id").as("id_l"),
+        keys(0).as("k0"), keys(1).as("k1"))
+      val r = sig.select(col("doc_id").as("id_r"),
+        keys(0).as("k0"), keys(1).as("k1"))
+      l.join(r, Seq("k0", "k1")).filter(col("id_l") < col("id_r"))
+        .select("id_l", "id_r")
+    }
+    val candidates = bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+    val sh = c.select(col("doc_id"),
+      array_distinct(shingles(3)).as("sh"))
+    val verified = candidates
+      .join(sh.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
+      .join(sh.select(col("doc_id").as("id_r"), col("sh").as("sh_r")), "id_r")
+      .withColumn("jaccard", q4(
+        size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+          greatest(size(array_union(col("sh_l"), col("sh_r"))), lit(1))
+            .cast("double")))
+      .filter(col("jaccard") >= threshold)
+    verified.select("id_l", "id_r", "jaccard")
+  }
+
+  def minhashPairsSql(threshold: Double = 0.5): String = {
+    val sh3 = shinglesSql(3)
+    val hashCols = (0 until MinHashFns).map { j =>
+      s"list_min([md5('$j:' || s) FOR s IN $sh3]) AS h$j"
+    }.mkString(",\n    ")
+    val bandJoins = (0 until MinHashFns / BandSize).map { b =>
+      s"""SELECT l.doc_id AS id_l, r.doc_id AS id_r
+         |  FROM sig l JOIN sig r
+         |  ON l.h${2 * b} = r.h${2 * b} AND l.h${2 * b + 1} = r.h${2 * b + 1}
+         |  AND l.doc_id < r.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $hashCols
+       |  FROM corpus WHERE length($sh3) > 0
+       |),
+       |cand AS (
+       |  $bandJoins
+       |),
+       |shs AS (SELECT doc_id, list_distinct($sh3) AS sh FROM corpus)
+       |SELECT c.id_l, c.id_r,
+       |  floor(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    greatest(length(list_distinct(list_concat(a.sh, b.sh))), 1)
+       |    * 10000.0) / 10000.0 AS jaccard
+       |FROM cand c JOIN shs a ON c.id_l = a.doc_id
+       |            JOIN shs b ON c.id_r = b.doc_id
+       |WHERE floor(CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    greatest(length(list_distinct(list_concat(a.sh, b.sh))), 1)
+       |    * 10000.0) / 10000.0 >= $threshold""".stripMargin
+  }
+
+  // ---------- char n-gram Jaccard near-dup ----------
+
+  /** char-4-gram Jaccard over prefix-blocked candidates (first 16 chars
+    * equal — cheap blocking; the planted near-dups share prefixes).
+    */
+  def ngramJaccardPairs(c: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val ng = when(length(col("text")) >= 4,
+      transform(sequence(lit(1), length(col("text")) - lit(3)),
+        i => substring(col("text"), i, lit(4))))
+      .otherwise(array().cast("array<string>"))
+    val d = c.select(col("doc_id"), substring(col("text"), 1, 16).as("blk"),
+      array_distinct(ng).as("ng"))
+    val l = d.select(col("doc_id").as("id_l"), col("blk"), col("ng").as("ng_l"))
+    val r = d.select(col("doc_id").as("id_r"), col("blk"), col("ng").as("ng_r"))
+    l.join(r, "blk").filter(col("id_l") < col("id_r"))
+      .withColumn("jaccard", q4(
+        size(array_intersect(col("ng_l"), col("ng_r"))).cast("double") /
+          greatest(size(array_union(col("ng_l"), col("ng_r"))), lit(1))
+            .cast("double")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
+  }
+
+  def ngramJaccardSql(threshold: Double = 0.7): String = {
+    val ng = "list_distinct([substring(text, i, 4) FOR i IN " +
+      "range(1, greatest(length(text) - 2, 1))])"
+    s"""blocked AS (
+       |  SELECT doc_id, substring(text, 1, 16) AS blk, $ng AS ng
+       |  FROM corpus
+       |)
+       |SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       |  floor(CAST(length(list_intersect(l.ng, r.ng)) AS DOUBLE) /
+       |    greatest(length(list_distinct(list_concat(l.ng, r.ng))), 1)
+       |    * 10000.0) / 10000.0 AS jaccard
+       |FROM blocked l JOIN blocked r
+       |  ON l.blk = r.blk AND l.doc_id < r.doc_id
+       |WHERE floor(CAST(length(list_intersect(l.ng, r.ng)) AS DOUBLE) /
+       |    greatest(length(list_distinct(list_concat(l.ng, r.ng))), 1)
+       |    * 10000.0) / 10000.0 >= $threshold""".stripMargin
+  }
+
+  private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+}

@@ -1,0 +1,89 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+class TextOpsSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val corpus = TextOps.corpus(spark, sfDir).cache()
+
+  test("corpus plants exact (id+1e6) and near (id+2e6) duplicates") {
+    val base = TextOps.documents(spark, sfDir).count()
+    val n = corpus.count()
+    assert(n > base)
+    val exactIds = corpus.filter(col("doc_id") >= 1000000 &&
+      col("doc_id") < 2000000).count()
+    assert(exactIds > 0)
+  }
+
+  test("exact dedup: planted copies share canonical_id with originals") {
+    val groups = TextOps.exactDupGroups(corpus)
+    val dups = groups.filter(col("group_size") >= 2)
+    assert(dups.count() > 0)
+    // every planted exact copy maps to its original as canonical
+    val bad = groups.filter(col("doc_id") >= 1000000 &&
+        col("doc_id") < 2000000)
+      .filter(col("canonical_id") =!= col("doc_id") - 1000000)
+    assert(bad.count() == 0)
+  }
+
+  test("minhash LSH finds every planted near-duplicate pair") {
+    val pairs = TextOps.minhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = TextOps.documents(spark, sfDir)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (id, id + 2000000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing ${planted.diff(pairs).take(5)}")
+  }
+
+  test("ngram jaccard finds planted near-duplicates with high score") {
+    val pairs = TextOps.ngramJaccardPairs(corpus)
+    val planted = pairs.filter(col("id_r") === col("id_l") + 2000000L)
+    assert(planted.count() > 0)
+    assert(planted.agg(min(col("jaccard"))).head().getDouble(0) >= 0.8)
+  }
+
+  test("simhash: identical texts get identical simhash; tokens golden") {
+    val sh = TextOps.simhash(corpus)
+    val orig = sh.filter(col("doc_id") < 1000000)
+      .withColumnRenamed("simhash", "s1")
+    val copy = sh.filter(col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+      .select((col("doc_id") - 1000000).as("doc_id"),
+        col("simhash").as("s2"))
+    val joined = orig.join(copy, "doc_id")
+    assert(joined.count() > 0)
+    assert(joined.filter(col("s1") =!= col("s2")).count() == 0)
+  }
+
+  test("token stats on a tiny fixture") {
+    val df = Seq((1L, "the cat sat"), (2L, "a a b")).toDF("doc_id", "text")
+    val stats = TextOps.tokenStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(stats(1L) == ((3, 3)))
+    assert(stats(2L) == ((3, 2)))
+  }
+
+  test("langId picks marker-majority language with deterministic tiebreak") {
+    val df = Seq(
+      (1L, "the cat of the house"),
+      (2L, "el perro de la casa es"),
+      (3L, "xyz qrs")).toDF("doc_id", "text")
+    val got = TextOps.langId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprint: fewer than 5 tokens yields zero shingles") {
+    val df = Seq((1L, "one two"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val fp = TextOps.fingerprint(df).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fp(1L) == 0)
+    assert(fp(2L) == 2)
+  }
+}
