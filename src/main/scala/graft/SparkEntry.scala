@@ -131,6 +131,41 @@ object SparkEntry {
         .orderBy(abs(col("score") - 0.5), col("id_l"), col("id_r"))
         .limit(10)),
 
+    // M1 (third leg): TF-IDF cosine over labeled pairs — sparse
+    // token-join formulation
+    "q16_tfidf_cosine" -> ((s, dir) =>
+      graft.sim.TfIdf.cosine(
+        Labels.plantedLabels(s, dir).select("id_l", "id_r"),
+        records(s, dir))),
+
+    // J7: zip-join (row-aligned pairing via row_number, the reference's
+    // RL label synthesis zip, initialize.py:143-154)
+    "q17_zip_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = records(s, dir)
+      def ranked(prefix: String, alias: String) =
+        recs.filter(col("conv_id").startsWith(prefix))
+          .select(col("conv_id").as(alias))
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col(alias))))
+      ranked("c", "id_l").join(ranked("d", "id_r"), "rank")
+        .select("rank", "id_l", "id_r")
+    }),
+
+    // J2: record-linkage pairs across two tables (c-corpus vs d-corpus)
+    "q18_linkage_pairs" -> ((s, dir) => {
+      val recs = records(s, dir)
+      Blocking.linkagePairs(
+        recs.filter(col("conv_id").startsWith("c")),
+        recs.filter(col("conv_id").startsWith("d")),
+        prefix8Head, "conv_id", Cap)
+    }),
+
+    // O1: deterministic seeded exact-n sample (ORDER BY random() LIMIT n
+    // analog; engine RNGs differ → rows-only check, no oracle)
+    "q19_sample" -> ((s, dir) =>
+      records(s, dir).orderBy(rand(42L)).limit(500).select("conv_id")),
+
     // ---- training-data pipeline operators (documents/embeddings) ----
 
     // exact dedup via hash-groupBy
@@ -264,6 +299,44 @@ object SparkEntry {
         OracleSql.ruleScoreCte),
       """SELECT id_l, id_r, score FROM scored
         |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin),
+
+    "q16_tfidf_cosine" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte,
+        "pairs AS (SELECT id_l, id_r FROM labels)",
+        graft.sim.TfIdf.oracleCtes),
+      graft.sim.TfIdf.oracleSelect),
+
+    "q17_zip_join" -> OracleSql.withNormalized(Nil,
+      """SELECT l.rank, l.id_l, r.id_r FROM
+        |  (SELECT conv_id AS id_l, CAST(row_number() OVER (ORDER BY conv_id) AS INT) AS rank
+        |   FROM normalized WHERE conv_id LIKE 'c%') l
+        |JOIN
+        |  (SELECT conv_id AS id_r, CAST(row_number() OVER (ORDER BY conv_id) AS INT) AS rank
+        |   FROM normalized WHERE conv_id LIKE 'd%') r
+        |ON l.rank = r.rank""".stripMargin),
+
+    "q18_linkage_pairs" -> OracleSql.withNormalized(
+      Seq(
+        s"""sig_l AS (
+           |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0
+           |  FROM normalized WHERE conv_id LIKE 'c%'
+           |    AND substring(head_text, 1, 8) != ''
+           |),
+           |sig_r AS (
+           |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0
+           |  FROM normalized WHERE conv_id LIKE 'd%'
+           |    AND substring(head_text, 1, 8) != ''
+           |),
+           |cap_l AS (
+           |  SELECT * FROM sig_l WHERE sig_0 IN (
+           |    SELECT sig_0 FROM sig_l GROUP BY sig_0 HAVING count(*) <= $Cap)
+           |),
+           |cap_r AS (
+           |  SELECT * FROM sig_r WHERE sig_0 IN (
+           |    SELECT sig_0 FROM sig_r GROUP BY sig_0 HAVING count(*) <= $Cap)
+           |)""".stripMargin),
+      """SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+        |FROM cap_l l JOIN cap_r r ON l.sig_0 = r.sig_0""".stripMargin),
 
     "q20_doc_exact_dup" -> docOracle(graft.text.TextOps.exactDupSql),
     "q21_doc_token_stats" -> docOracle(graft.text.TextOps.tokenStatsSql),

@@ -101,20 +101,25 @@ object Dedupe {
       acc
     }
 
-    // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard)
+    // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard +
+    //    TF-IDF cosine — the north star's batched similarity vector)
+    def featurize(p: DataFrame): DataFrame =
+      Distances.features(p, records)
+        .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records),
+          Seq("id_l", "id_r"))
+    val allFeatureCols = Distances.featureCols :+ "tfidf_cos"
     val feats = staged("features", Seq("pairs", "records")) {
-      Distances.features(pairs, records)
+      featurize(pairs)
     }
 
     // 7. score: logistic classifier trained on the labeled pairs
     //    (M2/M3) or the deterministic rule score
     val scored = staged("scores", Seq("features")) {
       if (cfg.useMlClassifier) {
-        val labeledFeats = Distances.features(
-          labels.select("id_l", "id_r"), records)
+        val labeledFeats = featurize(labels.select("id_l", "id_r"))
           .join(labels, Seq("id_l", "id_r"))
-        val model = MatchClassifier.train(labeledFeats, Distances.featureCols)
-        MatchClassifier.score(model, feats, Distances.featureCols)
+        val model = MatchClassifier.train(labeledFeats, allFeatureCols)
+        MatchClassifier.score(model, feats, allFeatureCols)
       } else {
         Distances.ruleScore(feats).select("id_l", "id_r", "score")
       }
