@@ -43,10 +43,16 @@ object Distances {
   val featureCols: Seq[String] =
     Seq("jw_head", "jw_role", "jw_full", "lev_full", "jac_full")
 
+  /** attributes used by the feature vector. */
+  val featureAttrs: Seq[String] = Seq("head_text", "full_text", "role_seq")
+
   def features(pairs: DataFrame, records: DataFrame,
-               idCol: String = "conv_id"): DataFrame = {
-    val attrs = Seq("head_text", "full_text", "role_seq")
-    val h = hydrate(pairs, records, attrs, idCol)
+               idCol: String = "conv_id"): DataFrame =
+    featuresFromHydrated(hydrate(pairs, records, featureAttrs, idCol))
+
+  /** similarity kernel over already-hydrated pairs — map-only (no
+    * shuffle), stays in one WholeStageCodegen pass. */
+  def featuresFromHydrated(h: DataFrame): DataFrame = {
     // each feature quantized via floor(x·10⁴)/10⁴ — IEEE-exact in both
     // engines (unlike decimal round(), whose half-tie handling differs
     // between Spark and DuckDB), so identical raw doubles quantize

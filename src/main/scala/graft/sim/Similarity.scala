@@ -19,14 +19,29 @@ import org.apache.spark.sql.classic.GraftBridge
   */
 object JaroWinkler {
 
-  def jaro(s1: String, s2: String): Double = {
-    val len1 = s1.length; val len2 = s2.length
-    // DuckDB (the oracle) returns 0 when EITHER side is empty,
-    // including both-empty
+  /** per-thread scratch (match flags) — the kernel runs millions of
+    * times per task; per-call allocation would dominate via GC at high
+    * core counts. */
+  private val scratch = new ThreadLocal[Array[Boolean]] {
+    override def initialValue(): Array[Boolean] = new Array[Boolean](256)
+  }
+  private def flags(n: Int): Array[Boolean] = {
+    var a = scratch.get()
+    if (a.length < n) { a = new Array[Boolean](n); scratch.set(a) }
+    else java.util.Arrays.fill(a, 0, n, false)
+    a
+  }
+
+  /** Core kernel over byte sequences (exact for ASCII; callers pass
+    * code-point arrays for non-ASCII). matched1/matched2 share one
+    * scratch array (first len1 slots + next len2 slots).
+    */
+  private def jaroBytes(s1: Array[Byte], len1: Int,
+                        s2: Array[Byte], len2: Int): Double = {
+    // DuckDB (the oracle) returns 0 when EITHER side is empty
     if (len1 == 0 || len2 == 0) return 0.0
     val window = math.max(math.max(len1, len2) / 2 - 1, 0)
-    val matched1 = new Array[Boolean](len1)
-    val matched2 = new Array[Boolean](len2)
+    val f = flags(len1 + len2)
     var m = 0
     var i = 0
     while (i < len1) {
@@ -35,8 +50,8 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
-          matched1(i) = true; matched2(j) = true; m += 1; found = true
+        if (!f(len1 + j) && s1(i) == s2(j)) {
+          f(i) = true; f(len1 + j) = true; m += 1; found = true
         }
         j += 1
       }
@@ -48,9 +63,9 @@ object JaroWinkler {
     var k = 0
     i = 0
     while (i < len1) {
-      if (matched1(i)) {
-        while (!matched2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+      if (f(i)) {
+        while (!f(len1 + k)) k += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -62,9 +77,75 @@ object JaroWinkler {
     (m.toDouble / len1 + m.toDouble / len2 + (m - mt).toDouble / m) / 3.0
   }
 
+  private def winkler(j: Double, s1: Array[Byte], len1: Int,
+                      s2: Array[Byte], len2: Int): Double = {
+    if (j <= 0.7) return j
+    var l = 0
+    val maxL = math.min(4, math.min(len1, len2))
+    while (l < maxL && s1(l) == s2(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+
+  /** Zero-copy path over Spark's UTF8String (ASCII fast path; general
+    * code points fall back to a per-char byte-widening copy which is
+    * still allocation-light). */
+  def jaroWinklerUTF8(a: UTF8String, b: UTF8String): Double = {
+    val ab = a.getBytes; val bb = b.getBytes
+    if (isAscii(ab) && isAscii(bb))
+      winkler(jaroBytes(ab, ab.length, bb, bb.length), ab, ab.length,
+        bb, bb.length)
+    else jaroWinkler(a.toString, b.toString)
+  }
+
+  private def isAscii(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** general kernel over char sequences (identical logic; used for
+    * non-ASCII input). */
+  private def jaroChars(s1: String, s2: String): Double = {
+    val len1 = s1.length; val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val f = flags(len1 + len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!f(len1 + j) && s1.charAt(i) == s2.charAt(j)) {
+          f(i) = true; f(len1 + j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < len1) {
+      if (f(i)) {
+        while (!f(len1 + k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val mt = t / 2
+    (m.toDouble / len1 + m.toDouble / len2 + (m - mt).toDouble / m) / 3.0
+  }
+
+  def jaro(s1: String, s2: String): Double = jaroChars(s1, s2)
+
   /** Winkler boost: applied only when jaro > 0.7 (DuckDB semantics). */
   def jaroWinkler(s1: String, s2: String): Double = {
-    val j = jaro(s1, s2)
+    val j = jaroChars(s1, s2)
     if (j <= 0.7) return j
     var l = 0
     val maxL = math.min(4, math.min(s1.length, s2.length))
@@ -80,12 +161,11 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullSafeEval(l: Any, r: Any): Any =
-    JaroWinkler.jaroWinkler(
-      l.asInstanceOf[UTF8String].toString,
-      r.asInstanceOf[UTF8String].toString)
+    JaroWinkler.jaroWinklerUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.sim.JaroWinkler.jaroWinkler($a.toString(), $b.toString())")
+      s"graft.sim.JaroWinkler.jaroWinklerUTF8($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
     copy(left = newLeft, right = newRight)

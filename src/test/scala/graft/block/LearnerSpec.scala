@@ -1,0 +1,67 @@
+package graft.block
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Learner semantics ported from the reference's unit tests
+  * (tests/block/test_learner.py:56-81, test_optimizers.py:59-87):
+  * conjunction list is deduped and sorted desc by (rr, positives,
+  * −negatives); seeds failing the rr/positives cut yield nothing;
+  * stats match hand-computed values on a tiny fixture.
+  */
+class LearnerSpec extends AnyFunSuite with SparkSuite {
+  import spark.implicits._
+
+  // 6 records: r1/r2 near-identical (labeled match), r5/r6 distinct
+  // (labeled non-match)
+  private lazy val train = Seq(
+    ("r1", "alpha beta", "u a"),
+    ("r2", "alpha beta", "u a"),
+    ("r3", "gamma delta", "u t"),
+    ("r4", "epsilon zeta", "a t"),
+    ("r5", "eta theta", "u a"),
+    ("r6", "iota kappa", "t t")).toDF("conv_id", "head_text", "role_seq")
+
+  private lazy val labels = Seq(
+    ("r1", "r2", 1),
+    ("r5", "r6", 0)).toDF("id_l", "id_r", "label")
+
+  private def learner(seedCut: Double = 0.0) =
+    new Learner(train, labels, Seq("head_text"), k = 2,
+      seedRrCut = seedCut, maxBlockSize = 100)
+
+  test("score: stats match hand computation (J3+A1+A2)") {
+    val s = learner().score(Seq("exactmatch_head_text"))
+    // only r1/r2 share identical head_text → 1 pair, the labeled match
+    assert(s.nPairs == 1 && s.positives == 1 && s.negatives == 0)
+    // rr = 1 − 1/C(6,2)
+    assert(math.abs(s.rr - (1.0 - 1.0 / 15.0)) < 1e-12)
+  }
+
+  test("learn: list deduped and sorted desc by (rr, positives, -negatives)") {
+    val conjs = learner().learn()
+    assert(conjs.nonEmpty)
+    val keys = conjs.map(_.key)
+    assert(keys == keys.sortBy(identity)(
+      Ordering[(Double, Long, Long)].reverse))
+    assert(conjs.map(_.conjunction.sorted).distinct.size == conjs.size)
+    // every kept conjunction passes _keep_if (optimizers.py:52-61)
+    conjs.foreach { c =>
+      assert(c.positives > 0 && c.rr < 1.0 && c.nPairs > 1 ||
+        c.conjunction.size == 1) // seeds are kept via the seed cut only
+    }
+  }
+
+  test("seed cut prunes low-rr seeds (optimizers.py:87)") {
+    // with the hardcoded 0.99 cut, nothing on 6 records can pass
+    // (1 pair ⇒ rr = 14/15 < 0.99) → no conjunctions at all
+    assert(learner(seedCut = 0.99).learn().isEmpty)
+  }
+
+  test("ngram constraint: conjunctions never contain 2 ngram schemes") {
+    val conjs = learner().learn()
+    conjs.foreach { c =>
+      assert(c.conjunction.count(_.startsWith("find_ngrams")) <= 1)
+    }
+  }
+}
