@@ -161,6 +161,12 @@ object SparkEntry {
         prefix8Head, "conv_id", Cap)
     }),
 
+    // J1 + skew salting: hot blocks split into salt shards instead of
+    // dropped — exactly the uncapped pair set, bounded task sizes
+    "q33_pairs_salted" -> ((s, dir) =>
+      Blocking.candidatePairsSalted(records(s, dir),
+        Seq(BoundScheme(FirstNChars(4), "head_text")), "conv_id", 8)),
+
     // O1: deterministic seeded exact-n sample (ORDER BY random() LIMIT n
     // analog; engine RNGs differ → rows-only check, no oracle)
     "q19_sample" -> ((s, dir) =>
@@ -337,6 +343,15 @@ object SparkEntry {
            |)""".stripMargin),
       """SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
         |FROM cap_l l JOIN cap_r r ON l.sig_0 = r.sig_0""".stripMargin),
+
+    "q33_pairs_salted" -> OracleSql.withNormalized(
+      Seq("""signatures AS (
+            |  SELECT conv_id, substring(head_text, 1, 4) AS sig_0
+            |  FROM normalized WHERE substring(head_text, 1, 4) != ''
+            |)""".stripMargin),
+      """SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+        |FROM signatures l JOIN signatures r
+        |  ON l.sig_0 = r.sig_0 AND l.conv_id < r.conv_id""".stripMargin),
 
     "q20_doc_exact_dup" -> docOracle(graft.text.TextOps.exactDupSql),
     "q21_doc_token_stats" -> docOracle(graft.text.TextOps.tokenStatsSql),

@@ -102,6 +102,34 @@ object Blocking {
       .dropDuplicates("id_l", "id_r")
   }
 
+  /** J1 variant with SALTING instead of dropping: oversized blocks are
+    * split into `salts` shards on the left side and the right side is
+    * replicated per shard, so the self-join's biggest task shrinks by
+    * ~`salts`× while producing EXACTLY the uncapped pair set. Use when
+    * recall through hot blocks matters more than the quadratic cost;
+    * the cap variant ([[candidatePairs]]) when hot signatures are
+    * non-informative (stopword n-grams).
+    *
+    * Left row salt = pmod(xxhash64(id), salts); right rows carry every
+    * salt value (explode) — a standard skew-join replication: pairs
+    * (l, r) meet exactly once, in l's shard.
+    */
+  def candidatePairsSalted(records: DataFrame, conjunction: Seq[BoundScheme],
+                           idCol: String = "conv_id",
+                           salts: Int = 8): DataFrame = {
+    val inv = invertedIndex(records, conjunction, idCol)
+    val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
+    val l = inv.select((col(idCol).as("id_l") +: sigs.map(col)): _*)
+      .withColumn("_salt", pmod(xxhash64(col("id_l")), lit(salts)))
+    val r = inv.select((col(idCol).as("id_r") +: sigs.map(col)): _*)
+      .withColumn("_salt", explode(
+        sequence(lit(0L), lit(salts.toLong - 1L))))
+    l.join(r, sigs :+ "_salt")
+      .filter(col("id_l") < col("id_r"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+  }
+
   private def selfJoinPairs(inv: DataFrame, idCol: String): DataFrame = {
     val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
     val l = inv.select((col(idCol).as("id_l") +: sigs.map(col)): _*)

@@ -46,11 +46,16 @@ final class TableIO(spark: SparkSession, root: String) {
   private def appendLineage(name: String, inputs: Seq[String],
                             out: DataFrame, wallMs: Long): Unit = {
     import spark.implicits._
-    val rows = out.count()
-    val parts = out.rdd.getNumPartitions
-    Seq((name, inputs.mkString(","), rows, parts, wallMs,
-      System.currentTimeMillis()))
-      .toDF("stage", "inputs", "rows", "partitions", "wall_ms", "committed_at")
+    // per-partition row counts in one pass (Iceberg-metadata-style
+    // per-file/per-partition stats)
+    val perPart = out.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1)
+    val rows = perPart.map(_._2).sum
+    Seq((name, inputs.mkString(","), rows, perPart.length,
+      perPart.map(_._2).toSeq, wallMs, System.currentTimeMillis()))
+      .toDF("stage", "inputs", "rows", "partitions", "partition_rows",
+        "wall_ms", "committed_at")
       .write.mode(SaveMode.Append).parquet(s"$root/_lineage")
   }
 

@@ -80,6 +80,19 @@ class BlockingSpec extends AnyFunSuite with SparkSuite {
     assert(pairs == Set(("x1", "x2")))
   }
 
+  test("salted self-join produces exactly the uncapped pair set") {
+    val many = (1 to 40).map(i => (f"r$i%02d", "hot prefix value")) ++
+      Seq(("x1", "uniq value a"), ("x2", "uniq value b"))
+    val d = many.toDF("conv_id", "name")
+    val conj = Seq(BoundScheme(FirstNChars(4), "name"))
+    val uncapped = Blocking.candidatePairs(d, conj, maxBlockSize = 10000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val salted = Blocking.candidatePairsSalted(d, conj, salts = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == uncapped)
+    assert(salted.size == 40 * 39 / 2 + 1)
+  }
+
   test("record-linkage pairs cross tables without ordering constraint") {
     val left = Seq(("l1", "john smith"), ("l2", "zzz")).toDF("conv_id", "name")
     val right = Seq(("r1", "john smyth")).toDF("conv_id", "name")

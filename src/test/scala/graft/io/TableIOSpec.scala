@@ -44,6 +44,7 @@ class TableIOSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[Long]("rows") == 3L)
     assert(r.getAs[String]("inputs") == "in1")
     assert(r.getAs[Long]("wall_ms") >= 0L)
+    assert(r.getAs[Seq[Long]]("partition_rows").sum == 3L)
   }
 
   test("upsert: existing keys win, new keys appended (MERGE semantics)") {
