@@ -40,11 +40,13 @@ object Transcripts {
     val w = Window.partitionBy(col("o_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
 
-    val base = orders
+    // ONE scan+join+window; the planted duplicates come from an
+    // explode of a ['c'] / ['c','d'] tag array rather than a union that
+    // would recompute the whole subtree twice (observed in .explain)
+    orders
       .join(lineitem, col("o_orderkey") === col("l_orderkey"))
       .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
       .select(
-        concat(lit("c"), col("o_orderkey").cast("string")).as("conv_id"),
         col("turn_idx"),
         when(col("turn_idx") % 3 === 0, lit("user"))
           .when(col("turn_idx") % 3 === 1, lit("assistant"))
@@ -61,18 +63,18 @@ object Transcripts {
           .otherwise(lit("")).as("tool"),
         col("l_shipdate").as("ts"),
         col("o_orderkey").as("_okey"))
-
-    val dups = base
-      .filter(col("_okey") % 10 === 0)
+      .withColumn("_tag", explode(
+        when(col("_okey") % 10 === 0, array(lit("c"), lit("d")))
+          .otherwise(array(lit("c")))))
       .select(
-        concat(lit("d"), col("_okey").cast("string")).as("conv_id"),
+        concat(col("_tag"), col("_okey").cast("string")).as("conv_id"),
         col("turn_idx"), col("role"),
         // perturbation: drop last 3 chars (keeps JW similarity high,
         // breaks exact / last_nchars equality)
-        col("text").substr(lit(1), length(col("text")) - 3).as("text"),
-        col("tool"), col("ts"), col("_okey"))
-
-    base.unionByName(dups).drop("_okey")
+        when(col("_tag") === "d",
+          col("text").substr(lit(1), length(col("text")) - 3))
+          .otherwise(col("text")).as("text"),
+        col("tool"), col("ts"))
   }
 
   /** DuckDB sibling CTEs producing the identical table. Two flat CTEs
@@ -81,8 +83,7 @@ object Transcripts {
     */
   val oracleCte: String =
     """t_base AS (
-      |  SELECT 'c' || CAST(o_orderkey AS VARCHAR) AS conv_id,
-      |         CAST(row_number() OVER (PARTITION BY o_orderkey
+      |  SELECT CAST(row_number() OVER (PARTITION BY o_orderkey
       |             ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS INT)
       |           AS turn_idx,
       |         'i' || CAST(l_partkey AS VARCHAR)
@@ -97,24 +98,19 @@ object Transcripts {
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |),
       |transcripts AS (
-      |  SELECT conv_id, turn_idx,
+      |  SELECT tag || CAST(_okey AS VARCHAR) AS conv_id, turn_idx,
       |         CASE turn_idx % 3 WHEN 0 THEN 'user'
       |              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-      |         text,
+      |         CASE WHEN tag = 'd'
+      |              THEN substring(text, 1, length(text) - 3)
+      |              ELSE text END AS text,
       |         CASE WHEN turn_idx % 3 = 2
       |              THEN 't' || CAST(_skey % 7 AS VARCHAR)
       |              ELSE '' END AS tool,
       |         ts
-      |  FROM t_base
-      |  UNION ALL
-      |  SELECT 'd' || CAST(_okey AS VARCHAR), turn_idx,
-      |         CASE turn_idx % 3 WHEN 0 THEN 'user'
-      |              WHEN 1 THEN 'assistant' ELSE 'tool' END,
-      |         substring(text, 1, length(text) - 3),
-      |         CASE WHEN turn_idx % 3 = 2
-      |              THEN 't' || CAST(_skey % 7 AS VARCHAR)
-      |              ELSE '' END,
-      |         ts
-      |  FROM t_base WHERE _okey % 10 = 0
+      |  FROM (
+      |    SELECT *, unnest(CASE WHEN _okey % 10 = 0
+      |                     THEN ['c', 'd'] ELSE ['c'] END) AS tag
+      |    FROM t_base)
       |)""".stripMargin
 }
