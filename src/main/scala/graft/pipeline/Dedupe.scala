@@ -70,11 +70,20 @@ object Dedupe {
       .unionByName(records.orderBy(rand(cfg.seed)).limit(cfg.trainN))
       .dropDuplicates("conv_id")
 
-    // 4. learn blocking conjunctions (greedy DP, optimizers.py:73-99)
-    val learner = new Learner(train, labels, Normalize.blockingAttributes,
-      cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
-    val conjunctions = learner.learn()
+    // 4. learn blocking conjunctions (greedy DP, optimizers.py:73-99).
+    //    The learned list is itself a checkpointed stage: on resume the
+    //    (dominant-cost) DP search is skipped entirely.
+    import spark.implicits._
+    val conjunctions = staged("conjunctions", Seq("records")) {
+      val learner = new Learner(train, labels, Normalize.blockingAttributes,
+        cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
+      val learned = learner.learn()
+      learner.unpersist()
+      learned.toDF()
+    }.as[ConjStats].collect().toSeq
+      .sortBy(_.key)(Ordering[(Double, Long, Long)].reverse)
     require(conjunctions.nonEmpty, "learner found no viable conjunction")
+    val schemeByName = graft.block.Schemes.byName(Normalize.blockingAttributes)
 
     // 5. candidate pairs on FULL data, best conjunctions first, stop at
     //    the covered-pair budget (blocking.py:43-98 / settings
@@ -89,7 +98,7 @@ object Dedupe {
       while (chunks.hasNext && covered < cfg.nCovered) {
         val chunk = chunks.next()
         val p = chunk.map(s => Blocking.candidatePairs(records,
-            learner.boundConjunction(s.conjunction), "conv_id",
+            s.conjunction.map(schemeByName), "conv_id",
             cfg.maxBlockSize))
           .reduce(_ unionByName _)
           .dropDuplicates("id_l", "id_r")
