@@ -20,9 +20,14 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
-      println(s"\n========== $n ==========")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    names.foreach {
+      case "entry" =>
+        println("\n========== entry (flagship) ==========")
+        val df = SparkEntry.entry(spark)
+        println(s"entry rows: ${df.count()}")
+      case n =>
+        println(s"\n========== $n ==========")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
