@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.block.{Blocking, BoundScheme, FirstNChars, FindNgrams, Acronym, ExactMatch, LastNChars, Labels}
+import graft.block.{Blocking, BoundScheme, FirstNChars, FindNgrams, Acronym, ExactMatch, FirstLetterFirstWord, LastNChars, Labels}
 import graft.cluster.ConnectedComponents
 import graft.normalize.Normalize
 import graft.pipeline.Dedupe
@@ -60,13 +60,14 @@ object SparkEntry {
     // label synthesis (initialize.py:117-135 analog)
     "q03_labels" -> ((s, dir) => Labels.plantedLabels(s, dir)),
 
-    // P1: forward index (scalar schemes)
+    // P1: forward index (scalar schemes, incl. F6 first_letter_first_word)
     "q04_forward_index" -> ((s, dir) =>
       Blocking.forwardIndex(records(s, dir), Seq(
         BoundScheme(FirstNChars(4), "head_text"),
         BoundScheme(LastNChars(4), "head_text"),
         BoundScheme(Acronym, "role_seq"),
-        BoundScheme(ExactMatch, "tool_set")))),
+        BoundScheme(ExactMatch, "tool_set"),
+        BoundScheme(FirstLetterFirstWord, "head_text")))),
 
     // G1: inverted index (n-gram explode)
     "q05_inverted_index" -> ((s, dir) =>
@@ -161,16 +162,85 @@ object SparkEntry {
         prefix8Head, "conv_id", Cap)
     }),
 
+    // C1 RL variant: record-linkage clusters with _type-namespaced
+    // node ids (reference cluster.py:83-129, tables.py:285-300)
+    "q34_linkage_clusters" -> ((s, dir) =>
+      graft.pipeline.RecordLinkage.run(s, dir).clusters),
+
+    // A2: reduction ratio of a conjunction — 1 − n_pairs / C(n,2)
+    // (reference optimizers.py rr; db/postgres/blocking.py:74-86)
+    "q35_reduction_ratio" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val pairs = Blocking.candidatePairs(recs, prefix8Head, "conv_id", Cap)
+      pairs.agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(recs.agg(count(lit(1)).as("n_records")))
+        .select(col("n_pairs"), col("n_records"),
+          (floor((lit(1.0) - col("n_pairs") /
+            (col("n_records") * (col("n_records") - 1) / 2.0)) * 1000000.0)
+            / 1000000.0).as("rr"))
+    }),
+
+    // P6+J5: unlabeled-only pool — blocked pairs minus labeled pairs
+    // (anti-join; reference's uncertainty pool filter)
+    "q36_unlabeled_pairs" -> ((s, dir) => {
+      val pairs = Blocking.candidatePairs(records(s, dir), prefix8Head,
+        "conv_id", Cap)
+      pairs.join(Labels.plantedLabels(s, dir), Seq("id_l", "id_r"),
+        "left_anti")
+    }),
+
+    // A3: table counts (reference's per-table bookkeeping counts)
+    "q38_table_counts" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val labels = Labels.plantedLabels(s, dir)
+      val pairs = Blocking.candidatePairs(recs, prefix8Head, "conv_id", Cap)
+      recs.agg(count(lit(1)).as("n_records"))
+        .crossJoin(labels.agg(count(lit(1)).as("n_labels")))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+    }),
+
+    // U1: train union — labeled records ∪ deterministic md5-ordered
+    // sample (the pipeline's actual train-set constructor)
+    "q39_train_union" -> ((s, dir) =>
+      graft.pipeline.Dedupe.trainSample(records(s, dir),
+        Labels.plantedLabels(s, dir), 400, 42L).select("conv_id")),
+
+    // S2+S6: bulk write + read-back through the TableIO stage layer
+    // (commit marker + lineage sidecar); result must round-trip exactly
+    "q41_io_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-io-q41").toString
+      new graft.io.TableIO(s, tmp).stage("normalized", Seq(dir)) {
+        records(s, dir)
+      }
+    }),
+
+    // S3+S4: MERGE-like upsert, conflict-skip semantics — a second
+    // upsert with conflicting rows must leave the first write intact
+    "q42_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-io-q42").toString
+      val io = new graft.io.TableIO(s, tmp)
+      val recs = records(s, dir)
+      io.upsert("t", recs, Seq("conv_id"))
+      io.upsert("t", recs.withColumn("n_turns", col("n_turns") + 1000),
+        Seq("conv_id"))
+    }),
+
     // J1 + skew salting: hot blocks split into salt shards instead of
     // dropped — exactly the uncapped pair set, bounded task sizes
     "q33_pairs_salted" -> ((s, dir) =>
       Blocking.candidatePairsSalted(records(s, dir),
         Seq(BoundScheme(FirstNChars(4), "head_text")), "conv_id", 8)),
 
-    // O1: deterministic seeded exact-n sample (ORDER BY random() LIMIT n
-    // analog; engine RNGs differ → rows-only check, no oracle)
+    // O1: deterministic exact-n uniform sample (ORDER BY random() LIMIT n
+    // analog, initialize.py:100-115). Portable determinism: order by a
+    // seeded hash (md5 exists in both engines) instead of an engine RNG —
+    // same uniform-without-replacement semantics, oracle-checkable.
     "q19_sample" -> ((s, dir) =>
-      records(s, dir).orderBy(rand(42L)).limit(500).select("conv_id")),
+      records(s, dir)
+        .orderBy(md5(concat(lit("42:"), col("conv_id"))), col("conv_id"))
+        .limit(500).select("conv_id")),
 
     // ---- training-data pipeline operators (documents/embeddings) ----
 
@@ -239,7 +309,9 @@ object SparkEntry {
          |  ${FirstNChars(4).sql("head_text")} AS first_nchars_4_head_text,
          |  ${LastNChars(4).sql("head_text")} AS last_nchars_4_head_text,
          |  ${Acronym.sql("role_seq")} AS acronym_role_seq,
-         |  tool_set AS exactmatch_tool_set
+         |  tool_set AS exactmatch_tool_set,
+         |  ${FirstLetterFirstWord.sql("head_text")}
+         |    AS first_letter_first_word_head_text
          |FROM normalized""".stripMargin),
 
     "q05_inverted_index" -> OracleSql.withNormalized(Nil,
@@ -309,7 +381,7 @@ object SparkEntry {
     "q16_tfidf_cosine" -> OracleSql.withNormalized(
       Seq(OracleSql.labelsCte,
         "pairs AS (SELECT id_l, id_r FROM labels)",
-        graft.sim.TfIdf.oracleCtes),
+        graft.sim.TfIdf.oracleCtes()),
       graft.sim.TfIdf.oracleSelect),
 
     "q17_zip_join" -> OracleSql.withNormalized(Nil,
@@ -343,6 +415,50 @@ object SparkEntry {
            |)""".stripMargin),
       """SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
         |FROM cap_l l JOIN cap_r r ON l.sig_0 = r.sig_0""".stripMargin),
+
+    "q19_sample" -> OracleSql.withNormalized(Nil,
+      """SELECT conv_id FROM normalized
+        |ORDER BY md5('42:' || conv_id), conv_id LIMIT 500""".stripMargin),
+
+    "q35_reduction_ratio" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap)),
+      """SELECT n_pairs, n_records,
+        |  floor((1.0 - n_pairs / (n_records * (n_records - 1) / 2.0))
+        |    * 1000000.0) / 1000000.0 AS rr
+        |FROM (SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+        |             (SELECT count(*) FROM normalized) AS n_records)""".stripMargin),
+
+    "q36_unlabeled_pairs" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
+      """SELECT p.id_l, p.id_r FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM labels l
+        |  WHERE l.id_l = p.id_l AND l.id_r = p.id_r)""".stripMargin),
+
+    "q38_table_counts" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
+      """SELECT (SELECT count(*) FROM normalized) AS n_records,
+        |       (SELECT count(*) FROM labels) AS n_labels,
+        |       (SELECT count(*) FROM pairs) AS n_pairs""".stripMargin),
+
+    "q39_train_union" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte),
+      """SELECT DISTINCT conv_id FROM (
+        |  SELECT conv_id FROM normalized WHERE conv_id IN (
+        |    SELECT id_l FROM labels UNION SELECT id_r FROM labels)
+        |  UNION ALL
+        |  SELECT conv_id FROM (
+        |    SELECT conv_id FROM normalized
+        |    ORDER BY md5('42:' || conv_id), conv_id LIMIT 400)
+        |)""".stripMargin),
+
+    "q41_io_roundtrip" -> OracleSql.withNormalized(Nil,
+      "SELECT * FROM normalized"),
+
+    "q42_upsert" -> OracleSql.withNormalized(Nil,
+      "SELECT * FROM normalized"),
 
     "q33_pairs_salted" -> OracleSql.withNormalized(
       Seq("""signatures AS (
@@ -394,6 +510,60 @@ object SparkEntry {
           |components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)
           |SELECT n.conv_id, coalesce(comp.component, n.conv_id) AS component,
           |       n.n_turns
-          |FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id""".stripMargin))
+          |FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id""".stripMargin),
+      "q34_linkage_clusters" -> linkageClustersOracle)
+  }
+
+  /** q34: the RecordLinkage pipeline mirrored in SQL — two blocking
+    * conjunctions (prefix-8 ∪ ngram-6, per-side caps), rule score,
+    * threshold 0.8, then CC over '_type'-namespaced node ids.
+    */
+  private def linkageClustersOracle: String = {
+    val ng6 = OracleSql.ngramList("head_text", 6)
+    def sideCtes(side: String, like: String) = Seq(
+      s"""sig_$side AS (
+         |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0
+         |  FROM normalized WHERE conv_id LIKE '$like'
+         |    AND substring(head_text, 1, 8) != ''
+         |),
+         |cap_$side AS (
+         |  SELECT * FROM sig_$side WHERE sig_0 IN (
+         |    SELECT sig_0 FROM sig_$side GROUP BY sig_0 HAVING count(*) <= $Cap)
+         |),
+         |nsig_$side AS (
+         |  SELECT conv_id, sig_0 FROM (
+         |    SELECT conv_id, unnest($ng6) AS sig_0
+         |    FROM normalized WHERE conv_id LIKE '$like')
+         |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
+         |),
+         |ncap_$side AS (
+         |  SELECT * FROM nsig_$side WHERE sig_0 IN (
+         |    SELECT sig_0 FROM nsig_$side GROUP BY sig_0 HAVING count(*) <= $Cap)
+         |)""".stripMargin)
+    val ctes = Seq(
+      Transcripts.oracleCte,
+      "normalized AS (\n" + Normalize.oracleSelect + "\n)") ++
+      sideCtes("l", "c%") ++ sideCtes("r", "d%") ++ Seq(
+      """pairs AS (
+        |  SELECT l.conv_id AS id_l, r.conv_id AS id_r
+        |  FROM cap_l l JOIN cap_r r ON l.sig_0 = r.sig_0
+        |  UNION
+        |  SELECT l.conv_id, r.conv_id
+        |  FROM ncap_l l JOIN ncap_r r ON l.sig_0 = r.sig_0
+        |)""".stripMargin,
+      OracleSql.featureSelect,
+      OracleSql.ruleScoreCte,
+      """edges AS (
+        |  SELECT 'l:' || id_l AS id_l, 'r:' || id_r AS id_r
+        |  FROM scored WHERE score > 0.8
+        |)""".stripMargin,
+      ConnectedComponents.oracleSql.stripSuffix(
+        "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"),
+      "components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)")
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      """
+        |SELECT component AS cluster, substring(id, 3) AS id,
+        |  CASE WHEN id LIKE 'l:%' THEN 'left' ELSE 'right' END AS _type
+        |FROM components""".stripMargin
   }
 }

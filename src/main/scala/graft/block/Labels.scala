@@ -83,26 +83,38 @@ object Labels {
       |  FROM live a JOIN live b ON a.k + 2 = b.k WHERE a.k % 20 = 0
       |)""".stripMargin
 
-  /** Reference-style label synthesis (initialize.py:67-135): one record
-    * ×4 → C(4,2) label-1 pairs; `nNeg` records → C(nNeg,2) label-0
-    * pairs. Deterministic via seeded sample.
+  /** Reference-style label synthesis (initialize.py:67-98): one sampled
+    * record is REPLICATED 4× under fresh suffixed ids — exactly the
+    * reference's `pd.concat([record] * 4)` with new `_index` values —
+    * yielding C(4,2)=6 guaranteed-match label-1 pairs; `nNeg` sampled
+    * records → C(nNeg,2) label-0 pairs (distinct records assumed
+    * non-matching). Deterministic via seeded md5 ordering.
+    *
+    * @return (augmented, labels): `augmented` = records ∪ the 4
+    *         replicas — the replicas must exist as records for
+    *         downstream featurization, just as the reference INSERTs
+    *         them into its train table before featurizing.
     */
   def referenceStyle(records: DataFrame, idCol: String = "conv_id",
-                     nNeg: Int = 10, seed: Long = 42L): DataFrame = {
-    val pos1 = records.orderBy(rand(seed)).limit(1).select(col(idCol))
-    // the same record "repeated 4×" yields pairs that are all (r, r):
-    // in our id-keyed world that degenerates, so reference parity is
-    // expressed as: the pos record pairs with itself → label 1 seeds
-    // come from planted dups instead; keep the C(n,2) generator for neg.
-    val negN = records.orderBy(rand(seed + 1)).limit(nNeg)
-      .select(col(idCol).as("id"))
-    val negPairs = negN.as("l").join(negN.as("r"),
+                     nNeg: Int = 10, seed: Long = 42L): (DataFrame, DataFrame) = {
+    def pick(n: Int, salt: String) = records
+      .orderBy(md5(concat(lit(s"$seed:$salt:"), col(idCol))), col(idCol))
+      .limit(n)
+    val replicas = pick(1, "pos")
+      .withColumn("_rep", explode(array((1 to 4).map(lit): _*)))
+      .withColumn(idCol, concat(col(idCol), lit("#"), col("_rep")))
+      .drop("_rep")
+    val repIds = replicas.select(col(idCol).as("id"))
+    val posPairs = repIds.as("l").join(repIds.as("r"),
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
+        lit(1).as("label"))
+    val negIds = pick(nNeg, "neg").select(col(idCol).as("id"))
+    val negPairs = negIds.as("l").join(negIds.as("r"),
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_l"), col("r.id").as("id_r"),
         lit(0).as("label"))
-    val posPairs = pos1.select(col(idCol).as("id_l"),
-      col(idCol).as("id_r"), lit(1).as("label")).limit(0)
-    negPairs.unionByName(posPairs)
+    (records.unionByName(replicas), posPairs.unionByName(negPairs))
   }
 
   /** The transcripts+labels oracle preamble shared by downstream ops. */

@@ -95,49 +95,134 @@ object EmbeddingOps {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
-  /** sign-bit LSH buckets (deterministic hyperplanes = first `bits`
-    * coordinate axes): near-dup pairs within a bucket with cosine ≥
-    * threshold. Scale path for embedding near-dup: candidate
-    * generation is a bucket equi-join, not all-pairs.
+  // ---------- random-hyperplane LSH ----------
+
+  /** Planes per signature; split into [[LshBands]] bands (banding = OR
+    * over bands, so one flipped bit cannot lose a true near-dup the
+    * way a single monolithic signature would). */
+  val LshBits = 16
+  val LshBands = 2
+
+  /** Per-band bucket cap: buckets larger than this are dropped before
+    * the in-bucket self-join (the same deterministic frequency-cap
+    * defense as blocking/minhash — without it a dense embedding region
+    * makes one bucket quadratic at 10^9+ vectors). */
+  val LshBucketCap = 200
+
+  /** Deterministic ±1 random hyperplanes, derivable in BOTH engines:
+    * sign(i, j) = +1 iff the first hex digit of md5("i:j") ≥ '8'.
+    * Computed once driver-side here (literal arrays in the plan — no
+    * per-row hashing) and inline via md5() in the DuckDB oracle.
     */
-  def lshNearDup(e: DataFrame, bits: Int = 8,
-                 threshold: Double = 0.2): DataFrame = {
-    val sigBits = (0 until bits).map { i =>
-      when(element_at(col("embedding"), i + 1) >= 0, lit(1)).otherwise(lit(0))
-        .cast("string")
+  private[emb] def planeSigns(bits: Int, dim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(bits, dim) { (i, j) =>
+      val h = digest.digest(s"$i:$j".getBytes("UTF-8"))
+      // first hex digit = high nibble of byte 0
+      if (((h(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
     }
-    val d = e.select(col("vec_id"),
-      concat(sigBits: _*).as("bucket"),
-      quant(col("embedding")).as("v"))
-    val l = d.select(col("vec_id").as("id_l"), col("bucket"),
-      col("v").as("v_l"))
-    val r = d.select(col("vec_id").as("id_r"), col("bucket"),
-      col("v").as("v_r"))
-    l.join(r, "bucket").filter(col("id_l") < col("id_r"))
+  }
+
+  /** Random-hyperplane sign-bit LSH with banding and bucket caps:
+    * signature bit i = sign(⟨signs_i, v⟩) over the QUANTIZED vector
+    * (integer dot products — exact, portable); `bits` planes split
+    * into `bits/8` 8-bit band keys; per band, buckets over `bucketCap`
+    * are dropped, survivors self-joined; candidates unioned across
+    * bands, verified with true cosine ≥ threshold.
+    *
+    * Scale path for embedding near-dup: candidate generation is a
+    * capped bucket equi-join per band — never all-pairs, never an
+    * unbounded bucket. Recall on planted near-dups is asserted ≥ 0.9
+    * against ground truth in EmbeddingOpsSpec.
+    */
+  def lshNearDup(e: DataFrame, bits: Int = LshBits,
+                 threshold: Double = 0.2,
+                 bucketCap: Int = LshBucketCap,
+                 dim: Int = 64): DataFrame = {
+    require(bits % 8 == 0, "bits must be a multiple of the 8-bit band size")
+    val signs = planeSigns(bits, dim)
+    val proj = (i: Int) => aggregate(
+      zip_with(col("v"), typedLit(signs(i).toSeq), (x, s) => x * s),
+      lit(0.0d), (acc, x) => acc + x)
+    val bitChar = (i: Int) =>
+      when(proj(i) >= 0, lit("1")).otherwise(lit("0"))
+    val nBands = bits / 8
+    val bandKey = (b: Int) => concat((0 until 8).map(k => bitChar(b * 8 + k)): _*)
+    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
+    val withBands = d.select(
+      (col("vec_id") +: col("v") +:
+        (0 until nBands).map(b => bandKey(b).as(s"band$b"))): _*)
+      .localCheckpoint() // signature computed once, scanned per band
+    val candidates = (0 until nBands).map { b =>
+      val banded = withBands.select(col("vec_id"), col(s"band$b").as("bucket"))
+      val keep = banded.groupBy("bucket")
+        .agg(count(lit(1)).as("_bucket_n"))
+        .filter(col("_bucket_n") <= bucketCap)
+        .drop("_bucket_n")
+      val capped = banded.join(keep, Seq("bucket"), "left_semi")
+      capped.select(col("vec_id").as("id_l"), col("bucket"))
+        .join(capped.select(col("vec_id").as("id_r"), col("bucket")), "bucket")
+        .filter(col("id_l") < col("id_r"))
+        .select("id_l", "id_r")
+    }.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+    candidates
+      .join(withBands.select(col("vec_id").as("id_l"), col("v").as("v_l")), "id_l")
+      .join(withBands.select(col("vec_id").as("id_r"), col("v").as("v_r")), "id_r")
       .withColumn("cosine", cosineQ(col("v_l"), col("v_r")))
       .filter(col("cosine") >= threshold)
       .select("id_l", "id_r", "cosine")
   }
 
-  def lshNearDupSql(bits: Int = 8, threshold: Double = 0.2): String = {
-    val bucket = (1 to bits).map(i =>
-      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    s"""bucketed AS (
-       |  SELECT vec_id, $bucket AS bucket, $quantSql AS v
-       |  FROM embeddings
+  def lshNearDupSql(bits: Int = LshBits, threshold: Double = 0.2,
+                    bucketCap: Int = LshBucketCap, dim: Int = 64): String = {
+    // same ±1 hyperplanes, derived inline from md5 in SQL
+    def signsList(i: Int) =
+      s"[CASE WHEN substring(md5('$i:' || CAST(j AS VARCHAR)), 1, 1) IN " +
+        s"('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END " +
+        s"FOR j IN range(0, $dim)]"
+    def bitChar(i: Int) =
+      s"(CASE WHEN list_sum(list_transform(list_zip(v, ${signsList(i)}), " +
+        s"p -> p[1] * p[2])) >= 0 THEN '1' ELSE '0' END)"
+    val nBands = bits / 8
+    def bandExpr(b: Int) =
+      (0 until 8).map(k => bitChar(b * 8 + k)).mkString(" || ")
+    val bandCols = (0 until nBands).map(b => s"${bandExpr(b)} AS band$b")
+      .mkString(",\n    ")
+    val bandCtes = (0 until nBands).map { b =>
+      s"""cap$b AS (
+         |  SELECT vec_id, band$b AS bucket FROM planes
+         |  WHERE band$b IN (
+         |    SELECT band$b FROM planes GROUP BY band$b
+         |    HAVING count(*) <= $bucketCap)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bandJoins = (0 until nBands).map { b =>
+      s"""SELECT l.vec_id AS id_l, r.vec_id AS id_r
+         |  FROM cap$b l JOIN cap$b r
+         |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    val cos =
+      """floor(list_sum(list_transform(list_zip(a.v, b.v),
+        |          p -> p[1] * p[2])) /
+        |    greatest(sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+        |             sqrt(list_sum(list_transform(b.v, x -> x * x))), 1e-12)
+        |    * 10000.0) / 10000.0""".stripMargin
+    s"""quantized AS (
+       |  SELECT vec_id, $quantSql AS v FROM embeddings
+       |),
+       |planes AS (
+       |  SELECT vec_id, v,
+       |    $bandCols
+       |  FROM quantized
+       |),
+       |$bandCtes,
+       |cand AS (
+       |  $bandJoins
        |)
-       |SELECT l.vec_id AS id_l, r.vec_id AS id_r,
-       |  floor(list_sum(list_transform(list_zip(l.v, r.v),
-       |          p -> p[1] * p[2])) /
-       |    greatest(sqrt(list_sum(list_transform(l.v, x -> x * x))) *
-       |             sqrt(list_sum(list_transform(r.v, x -> x * x))), 1e-12)
-       |    * 10000.0) / 10000.0 AS cosine
-       |FROM bucketed l JOIN bucketed r
-       |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-       |WHERE floor(list_sum(list_transform(list_zip(l.v, r.v),
-       |          p -> p[1] * p[2])) /
-       |    greatest(sqrt(list_sum(list_transform(l.v, x -> x * x))) *
-       |             sqrt(list_sum(list_transform(r.v, x -> x * x))), 1e-12)
-       |    * 10000.0) / 10000.0 >= $threshold""".stripMargin
+       |SELECT c.id_l, c.id_r, $cos AS cosine
+       |FROM cand c
+       |JOIN quantized a ON c.id_l = a.vec_id
+       |JOIN quantized b ON c.id_r = b.vec_id
+       |WHERE $cos >= $threshold""".stripMargin
   }
 }

@@ -69,7 +69,14 @@ final class TableIO(spark: SparkSession, root: String) {
   def upsert(stageName: String, incoming: DataFrame, keys: Seq[String]): DataFrame = {
     if (committed(stageName)) {
       val existing = spark.read.parquet(path(stageName))
+      // MATERIALIZE the anti-join before appending: the append targets
+      // the same directory the anti-join reads, and read-while-append
+      // on one live path is a planning-time-snapshot accident, not a
+      // guarantee. localCheckpoint (eager) computes `fresh` fully
+      // before the first output file is written. (A real catalog —
+      // Iceberg/Delta — would make this a snapshot-isolated MERGE.)
       val fresh = incoming.join(existing, keys, "left_anti")
+        .localCheckpoint()
       fresh.write.mode(SaveMode.Append).parquet(path(stageName))
     } else {
       incoming.write.mode(SaveMode.Overwrite).parquet(path(stageName))

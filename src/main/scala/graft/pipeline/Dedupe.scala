@@ -32,9 +32,28 @@ object Dedupe {
       seedRrCut: Double = 0.99,
       maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
       nCovered: Long = 500000L, // reference settings.py:47-48
+      maxCompare: Long = 1000000L, // reference settings.py:44-45
       threshold: Double = 0.8,  // reference cluster/cluster.py:24
       seed: Long = 42L,
       useMlClassifier: Boolean = true)
+
+  /** min_rr / max_compare stop condition (reference
+    * db/postgres/blocking.py:74-86): with n records the full-data
+    * comparison space is C(n,2); a conjunction whose reduction ratio
+    * falls below 1 − maxCompare / C(n,2) would admit more than
+    * maxCompare pairs on its own, so it — and everything after it in
+    * the best-first list — is refused. (rr here is the learner's
+    * train-sample estimate, the same quantity the reference thresholds.)
+    */
+  def applicableConjunctions(conjunctions: Seq[ConjStats], nRecords: Long,
+                             maxCompare: Long): Seq[ConjStats] = {
+    val nComparisons = nRecords.toDouble * (nRecords - 1) / 2.0
+    if (nComparisons <= 0) conjunctions
+    else {
+      val minRr = 1.0 - maxCompare / nComparisons
+      conjunctions.takeWhile(_.rr >= minRr)
+    }
+  }
 
   final case class Result(
       records: DataFrame,
@@ -43,6 +62,26 @@ object Dedupe {
       clusters: DataFrame,
       conjunctions: Seq[ConjStats],
       ccSupersteps: Seq[ConnectedComponents.Superstep])
+
+  /** U1: train union — records of every labeled pair ∪ an exact-n
+    * uniform sample (reference pos ∪ neg ∪ unlabelled,
+    * initialize.py:100-115). The sample orders by a seeded md5 instead
+    * of an engine RNG: same uniform-without-replacement semantics, but
+    * deterministic across engines AND runs (resume re-derives the
+    * identical sample; TakeOrdered plan — per-partition heap + driver
+    * merge of n rows, no full sort).
+    */
+  def trainSample(records: DataFrame, labels: DataFrame, trainN: Int,
+                  seed: Long): DataFrame = {
+    val labeledIds = labels.select(col("id_l").as("conv_id"))
+      .unionByName(labels.select(col("id_r").as("conv_id"))).distinct()
+    records.join(labeledIds, Seq("conv_id"), "left_semi")
+      .unionByName(records
+        .orderBy(md5(concat(lit(s"$seed:"), col("conv_id"))),
+          col("conv_id"))
+        .limit(trainN))
+      .dropDuplicates("conv_id")
+  }
 
   def run(spark: SparkSession, sfDir: String, cfg: Config = Config(),
           workDir: Option[String] = None): Result = {
@@ -64,11 +103,7 @@ object Dedupe {
 
     // 3. train sample = labeled records ∪ seeded uniform sample
     //    (reference train = pos ∪ neg ∪ unlabelled, initialize.py:100-115)
-    val labeledIds = labels.select(col("id_l").as("conv_id"))
-      .unionByName(labels.select(col("id_r").as("conv_id"))).distinct()
-    val train = records.join(labeledIds, Seq("conv_id"), "left_semi")
-      .unionByName(records.orderBy(rand(cfg.seed)).limit(cfg.trainN))
-      .dropDuplicates("conv_id")
+    val train = trainSample(records, labels, cfg.trainN, cfg.seed)
 
     // 4. learn blocking conjunctions (greedy DP, optimizers.py:73-99).
     //    The learned list is itself a checkpointed stage: on resume the
@@ -85,16 +120,23 @@ object Dedupe {
     require(conjunctions.nonEmpty, "learner found no viable conjunction")
     val schemeByName = graft.block.Schemes.byName(Normalize.blockingAttributes)
 
-    // 5. candidate pairs on FULL data, best conjunctions first, stop at
-    //    the covered-pair budget (blocking.py:43-98 / settings
-    //    n_covered). The reference counts after EVERY conjunction (one
-    //    SQL round-trip each); here conjunctions are applied in chunks —
-    //    one unioned Spark job + one count per chunk — preserving the
-    //    best-first budget semantics at a fraction of the job count.
+    // 5. candidate pairs on FULL data, best conjunctions first, under
+    //    TWO budgets (blocking.py:43-98): the covered-pair budget
+    //    (n_covered) and the min_rr/max_compare refusal — a low-rr
+    //    conjunction late in the list is never applied. The reference
+    //    counts after EVERY conjunction (one SQL round-trip each); here
+    //    conjunctions are applied in chunks — one unioned Spark job +
+    //    one count per chunk — preserving the best-first budget
+    //    semantics at a fraction of the job count.
+    val nRecords = records.count()
+    val admitted = applicableConjunctions(conjunctions, nRecords,
+      cfg.maxCompare)
+    require(admitted.nonEmpty,
+      "min_rr stop refused every learned conjunction")
     val pairs = staged("pairs", Seq("records")) {
       var acc: DataFrame = null
       var covered = 0L
-      val chunks = conjunctions.grouped(8)
+      val chunks = admitted.grouped(8)
       while (chunks.hasNext && covered < cfg.nCovered) {
         val chunk = chunks.next()
         val p = chunk.map(s => Blocking.candidatePairs(records,
@@ -114,7 +156,8 @@ object Dedupe {
     //    TF-IDF cosine — the north star's batched similarity vector)
     def featurize(p: DataFrame): DataFrame =
       Distances.features(p, records)
-        .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records),
+        .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records,
+          nRecords = Some(nRecords)),
           Seq("id_l", "id_r"))
     val allFeatureCols = Distances.featureCols :+ "tfidf_cos"
     val feats = staged("features", Seq("pairs", "records")) {
@@ -125,9 +168,15 @@ object Dedupe {
     //    (M2/M3) or the deterministic rule score
     val scored = staged("scores", Seq("features")) {
       if (cfg.useMlClassifier) {
-        val labeledFeats = featurize(labels.select("id_l", "id_r"))
-          .join(labels, Seq("id_l", "id_r"))
-        val model = MatchClassifier.train(labeledFeats, allFeatureCols)
+        // model persistence (reference joblib dump/reload,
+        // fapi.py:161-176): with a workDir the fitted model is saved
+        // under <workDir>/model and a resumed run LOADS it instead of
+        // retraining.
+        val model = MatchClassifier.trainOrLoad(
+          workDir.map(_ + "/model"), allFeatureCols) {
+          featurize(labels.select("id_l", "id_r"))
+            .join(labels, Seq("id_l", "id_r"))
+        }
         MatchClassifier.score(model, feats, allFeatureCols)
       } else {
         Distances.ruleScore(feats).select("id_l", "id_r", "score")

@@ -43,10 +43,21 @@ object RecordLinkage {
       Distances.features(pairs, records))
       .select("id_l", "id_r", "score")
 
-    // C1 with _type-namespaced node ids — cross-table edges only
+    // C1 with _type-namespaced node ids (reference cluster.py:83-129 +
+    // tables.py:285-300): every node is tagged with its source table
+    // BEFORE clustering, so ids that collide across the two tables can
+    // never be merged by accident, and the output carries (cluster,
+    // id, _type) exactly like the reference's maindf/maindf_link split.
     val edges = scored.filter(col("score") > threshold)
-    val (comps, _) = ConnectedComponents.run(edges)
-    Result(pairs, scored, comps)
+    val (comps, _) = ConnectedComponents.run(edges.select(
+      concat(lit("l:"), col("id_l")).as("id_l"),
+      concat(lit("r:"), col("id_r")).as("id_r")))
+    val clusters = comps.select(
+      col("component").as("cluster"),
+      col("id").substr(lit(3), length(col("id"))).as("id"),
+      when(col("id").startsWith("l:"), lit("left"))
+        .otherwise(lit("right")).as("_type"))
+    Result(pairs, scored, clusters)
   }
 
   /** pairwise F1 vs the planted cross-table truth. */

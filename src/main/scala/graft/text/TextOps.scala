@@ -242,6 +242,13 @@ object TextOps {
   val MinHashFns = 8
   val BandSize = 2
 
+  /** Default per-band bucket cap: a band bucket (2 equal MinHash
+    * values) shared by more than this many docs is boilerplate-grade —
+    * its in-bucket self-join is quadratic, so it is dropped (same
+    * deterministic frequency-cap defense as blocking.capHotSignatures,
+    * mirrored in the oracle). 200 ⇒ ≤ ~20k pairs per bucket. */
+  val BandCap = 200
+
   /** per-doc MinHash signature over token 3-gram shingles; hash_j =
     * min(md5(j ++ ':' ++ shingle)) — md5 is the engine-portable hash
     * family. (doc_id, h0..h7).
@@ -256,20 +263,32 @@ object TextOps {
       .select((col("doc_id") +: cols): _*)
   }
 
-  /** LSH: band doc pairs sharing any (h_{2b}, h_{2b+1}) band, then
-    * verify true shingle-set Jaccard; near-dup = jaccard ≥ threshold.
-    * Band join is the scale path (no all-pairs); the verify step only
+  /** LSH: band doc pairs sharing any (h_{2b}, h_{2b+1}) band — hot band
+    * buckets capped at `bandCap` — then verify true shingle-set
+    * Jaccard; near-dup = jaccard ≥ threshold. Band join is the scale
+    * path (no all-pairs, no unbounded bucket); the verify step only
     * touches banded candidates.
+    *
+    * The signature table is materialized via localCheckpoint (eager)
+    * rather than cache(): it is scanned once per band, and checkpoint
+    * blocks are released by the ContextCleaner when the plan is
+    * dropped — no cache entry left pinned for the session's lifetime.
     */
-  def minhashPairs(c: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(c).cache()
+  def minhashPairs(c: DataFrame, threshold: Double = 0.5,
+                   bandCap: Int = BandCap): DataFrame = {
+    val sig = minhashSignatures(c).localCheckpoint()
     val bands = (0 until MinHashFns / BandSize).map { b =>
-      val keys = Seq(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
-      val l = sig.select(col("doc_id").as("id_l"),
-        keys(0).as("k0"), keys(1).as("k1"))
-      val r = sig.select(col("doc_id").as("id_r"),
-        keys(0).as("k0"), keys(1).as("k1"))
-      l.join(r, Seq("k0", "k1")).filter(col("id_l") < col("id_r"))
+      val banded = sig.select(col("doc_id"),
+        col(s"h${2 * b}").as("k0"), col(s"h${2 * b + 1}").as("k1"))
+      val keep = banded.groupBy("k0", "k1")
+        .agg(count(lit(1)).as("_bucket_n"))
+        .filter(col("_bucket_n") <= bandCap)
+        .drop("_bucket_n")
+      val capped = banded.join(keep, Seq("k0", "k1"), "left_semi")
+      capped.select(col("doc_id").as("id_l"), col("k0"), col("k1"))
+        .join(capped.select(col("doc_id").as("id_r"), col("k0"), col("k1")),
+          Seq("k0", "k1"))
+        .filter(col("id_l") < col("id_r"))
         .select("id_l", "id_r")
     }
     val candidates = bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
@@ -286,15 +305,25 @@ object TextOps {
     verified.select("id_l", "id_r", "jaccard")
   }
 
-  def minhashPairsSql(threshold: Double = 0.5): String = {
+  def minhashPairsSql(threshold: Double = 0.5,
+                      bandCap: Int = BandCap): String = {
     val sh3 = shinglesSql(3)
     val hashCols = (0 until MinHashFns).map { j =>
       s"list_min([md5('$j:' || s) FOR s IN $sh3]) AS h$j"
     }.mkString(",\n    ")
+    val bandCtes = (0 until MinHashFns / BandSize).map { b =>
+      s"""band$b AS (
+         |  SELECT doc_id, h${2 * b} AS k0, h${2 * b + 1} AS k1 FROM sig
+         |  WHERE (h${2 * b}, h${2 * b + 1}) IN (
+         |    SELECT (h${2 * b}, h${2 * b + 1}) FROM sig
+         |    GROUP BY h${2 * b}, h${2 * b + 1}
+         |    HAVING count(*) <= $bandCap)
+         |)""".stripMargin
+    }.mkString(",\n")
     val bandJoins = (0 until MinHashFns / BandSize).map { b =>
       s"""SELECT l.doc_id AS id_l, r.doc_id AS id_r
-         |  FROM sig l JOIN sig r
-         |  ON l.h${2 * b} = r.h${2 * b} AND l.h${2 * b + 1} = r.h${2 * b + 1}
+         |  FROM band$b l JOIN band$b r
+         |  ON l.k0 = r.k0 AND l.k1 = r.k1
          |  AND l.doc_id < r.doc_id""".stripMargin
     }.mkString("\n  UNION\n  ")
     s"""sig AS (
@@ -302,6 +331,7 @@ object TextOps {
        |    $hashCols
        |  FROM corpus WHERE length($sh3) > 0
        |),
+       |$bandCtes,
        |cand AS (
        |  $bandJoins
        |),

@@ -50,4 +50,33 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getDouble(2) >= 0.1))
   }
+
+  test("LSH recall >= 0.9 on planted near-dup vectors") {
+    // plant a near-identical copy of every vector (deterministic small
+    // perturbation, cosine ≈ 0.999); ground truth = (i, i + 100000)
+    val perturbed = emb.select(
+      (col("vec_id") + 100000L).as("vec_id"),
+      transform(col("embedding"), (x, j) =>
+        x + lit(0.02) * sin(col("vec_id").cast("double") + j.cast("double")))
+        .cast("array<float>").as("embedding"))
+    val planted = emb.select("vec_id", "embedding").unionByName(perturbed)
+    val truth = emb.count()
+    val found = EmbeddingOps.lshNearDup(planted, threshold = 0.9)
+      .filter(col("id_r") === col("id_l") + 100000L)
+      .count()
+    val recall = found.toDouble / truth
+    info(s"LSH recall on planted near-dups: $recall ($found / $truth)")
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("LSH hot-bucket cap drops oversized buckets") {
+    // 300 identical vectors land in one bucket per band (> cap 200):
+    // the in-bucket self-join would be quadratic → bucket dropped
+    val hot = spark.range(300).select(col("id").as("vec_id"),
+      typedLit(Seq.fill(64)(1.0f)).as("embedding"))
+    assert(EmbeddingOps.lshNearDup(hot, threshold = 0.0).count() == 0)
+    // with a cap above the bucket size the pairs come back
+    assert(EmbeddingOps.lshNearDup(hot, threshold = 0.0,
+      bucketCap = 400).count() == 300L * 299 / 2)
+  }
 }

@@ -86,4 +86,16 @@ class TextOpsSpec extends AnyFunSuite with SparkSuite {
     assert(fp(1L) == 0)
     assert(fp(2L) == 2)
   }
+
+  test("minhash band cap drops boilerplate-hot buckets") {
+    // 250 identical docs: every band bucket holds all 250 (> BandCap
+    // 200) — without the cap this is a quadratic straggler; with it
+    // the bucket is dropped entirely
+    val hot = spark.range(250).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta").as("text"))
+    assert(TextOps.minhashPairs(hot).count() == 0)
+    // a cap above the bucket size re-admits the block
+    assert(TextOps.minhashPairs(hot, bandCap = 300).count() ==
+      250L * 249 / 2)
+  }
 }
