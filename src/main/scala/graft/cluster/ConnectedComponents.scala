@@ -30,18 +30,27 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with columns (id_l, id_r); ids any orderable
     *              atomic type (string conv_ids or long indices).
+    * @param reliableCheckpoints per-superstep materialization strategy:
+    *              false (default) = `localCheckpoint` — executor-storage
+    *              pinned, right for a single JVM; true = reliable
+    *              `checkpoint()` to the SparkContext's checkpoint dir
+    *              (caller must `setCheckpointDir`) — survives executor
+    *              loss, the cluster-grade choice under dynamic
+    *              allocation.
     * @return (id, component) where component = min member id, plus the
     *         supersteps metric trail.
     */
-  def run(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Seq[Superstep]) = {
+  def run(edges: DataFrame, maxRounds: Int = 50,
+          reliableCheckpoints: Boolean = false): (DataFrame, Seq[Superstep]) = {
     val spark = edges.sparkSession
-    var e = edges
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(edges
       .select(col("id_l").as("a"), col("id_r").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     val steps = scala.collection.mutable.ArrayBuffer.empty[Superstep]
     var fp = fingerprint(e)
@@ -50,7 +59,7 @@ object ConnectedComponents {
     var converged = false
     while (!converged && round < maxRounds) {
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = materialize(smallStar(largeStar(e)))
       val nfp = fingerprint(next)
       converged = nfp == fp
       fp = nfp

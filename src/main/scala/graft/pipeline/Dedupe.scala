@@ -35,7 +35,13 @@ object Dedupe {
       maxCompare: Long = 1000000L, // reference settings.py:44-45
       threshold: Double = 0.8,  // reference cluster/cluster.py:24
       seed: Long = 42L,
-      useMlClassifier: Boolean = true)
+      useMlClassifier: Boolean = true,
+      // runtime-configurable attributes (reference settings.py:77 +
+      // dynamic table generation tables.py:74-103): which attributes
+      // the blocking learner may use, and which (attr, metric)
+      // similarity columns the classifier sees
+      blockingAttrs: Seq[String] = Normalize.blockingAttributes,
+      features: Seq[Distances.AttrSim] = Distances.defaultPlan)
 
   /** min_rr / max_compare stop condition (reference
     * db/postgres/blocking.py:74-86): with n records the full-data
@@ -110,7 +116,7 @@ object Dedupe {
     //    (dominant-cost) DP search is skipped entirely.
     import spark.implicits._
     val conjunctions = staged("conjunctions", Seq("records")) {
-      val learner = new Learner(train, labels, Normalize.blockingAttributes,
+      val learner = new Learner(train, labels, cfg.blockingAttrs,
         cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
       val learned = learner.learn()
       learner.unpersist()
@@ -118,7 +124,7 @@ object Dedupe {
     }.as[ConjStats].collect().toSeq
       .sortBy(_.key)(Ordering[(Double, Long, Long)].reverse)
     require(conjunctions.nonEmpty, "learner found no viable conjunction")
-    val schemeByName = graft.block.Schemes.byName(Normalize.blockingAttributes)
+    val schemeByName = graft.block.Schemes.byName(cfg.blockingAttrs)
 
     // 5. candidate pairs on FULL data, best conjunctions first, under
     //    TWO budgets (blocking.py:43-98): the covered-pair budget
@@ -155,11 +161,11 @@ object Dedupe {
     // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard +
     //    TF-IDF cosine — the north star's batched similarity vector)
     def featurize(p: DataFrame): DataFrame =
-      Distances.features(p, records)
+      Distances.featuresFor(p, records, cfg.features)
         .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records,
           nRecords = Some(nRecords)),
           Seq("id_l", "id_r"))
-    val allFeatureCols = Distances.featureCols :+ "tfidf_cos"
+    val allFeatureCols = cfg.features.map(_.colName) :+ "tfidf_cos"
     val feats = staged("features", Seq("pairs", "records")) {
       featurize(pairs)
     }

@@ -39,12 +39,71 @@ object Distances {
       df.withColumn(a, Similarity.jw(col(s"${a}_l"), col(s"${a}_r")))
     }
 
+  /** One configured similarity feature: `metric` over `attr`, emitted
+    * as column `as` (defaults to `{metric}_{attr}` — the reference's
+    * runtime-config attribute columns, settings.py:77 +
+    * tables.py:249-265). */
+  final case class AttrSim(attr: String, metric: String,
+                           as: Option[String] = None) {
+    def colName: String = as.getOrElse(s"${metric}_$attr")
+  }
+
+  /** Distance-metric menu (pg_similarity family, docs distance.md):
+    * all pure codegen'd expressions, each with a DuckDB SQL mirror. */
+  val metricMenu: Seq[String] =
+    Seq("jw", "lev", "jaccard", "dice", "overlap", "cosine")
+
+  def metricCol(metric: String, l: org.apache.spark.sql.Column,
+                r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    metric match {
+      case "jw" => Similarity.jw(l, r)
+      case "lev" => Similarity.levSim(l, r)
+      case "jaccard" => Similarity.tokenJaccard(l, r)
+      case "dice" => Similarity.tokenDice(l, r)
+      case "overlap" => Similarity.tokenOverlap(l, r)
+      case "cosine" => Similarity.tokenCosine(l, r)
+      case m => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+
+  def metricSql(metric: String, a: String, b: String): String =
+    metric match {
+      case "jw" => Similarity.jwSql(a, b)
+      case "lev" => Similarity.levSimSql(a, b)
+      case "jaccard" => Similarity.tokenJaccardSql(a, b)
+      case "dice" => Similarity.tokenDiceSql(a, b)
+      case "overlap" => Similarity.tokenOverlapSql(a, b)
+      case "cosine" => Similarity.tokenCosineSql(a, b)
+      case m => throw new IllegalArgumentException(s"unknown metric $m")
+    }
+
+  /** The default plan — the north star's similarity vector, with the
+    * column names the oracle queries and bench use. */
+  val defaultPlan: Seq[AttrSim] = Seq(
+    AttrSim("head_text", "jw", Some("jw_head")),
+    AttrSim("role_seq", "jw", Some("jw_role")),
+    AttrSim("full_text", "jw", Some("jw_full")),
+    AttrSim("full_text", "lev", Some("lev_full")),
+    AttrSim("full_text", "jaccard", Some("jac_full")))
+
   /** Full feature vector for the match classifier. */
-  val featureCols: Seq[String] =
-    Seq("jw_head", "jw_role", "jw_full", "lev_full", "jac_full")
+  val featureCols: Seq[String] = defaultPlan.map(_.colName)
 
   /** attributes used by the feature vector. */
   val featureAttrs: Seq[String] = Seq("head_text", "full_text", "role_seq")
+
+  /** Config-driven feature vectorization: hydrate the distinct
+    * attributes once, emit one quantized similarity column per plan
+    * entry — still a single map-only WholeStageCodegen pass after the
+    * hydration joins, whatever the plan says.
+    */
+  def featuresFor(pairs: DataFrame, records: DataFrame,
+                  plan: Seq[AttrSim],
+                  idCol: String = "conv_id"): DataFrame = {
+    val h = hydrate(pairs, records, plan.map(_.attr).distinct, idCol)
+    h.select((col("id_l") +: col("id_r") +: plan.map(f =>
+      q4(metricCol(f.metric, col(s"${f.attr}_l"), col(s"${f.attr}_r")))
+        .as(f.colName))): _*)
+  }
 
   def features(pairs: DataFrame, records: DataFrame,
                idCol: String = "conv_id"): DataFrame =

@@ -195,6 +195,37 @@ object Similarity {
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
+  // ---- token-set coefficient family (pg_similarity menu relatives:
+  //      jaccard / dice / overlap / cosine, docs distance.md) ----
+  // Conventions shared with tokenJaccard: both sides token-less → 1.0
+  // (two empty strings are identical); exactly one side token-less →
+  // 0.0 for the coefficients whose denominator vanishes.
+
+  private def tokenSet(x: Column): Column =
+    array_distinct(filter(split(x, " "), w => w =!= ""))
+
+  private def setCoefficient(a: Column, b: Column)
+                            (coeff: (Column, Column, Column) => Column): Column = {
+    val (ta, tb) = (tokenSet(a), tokenSet(b))
+    val (na, nb) = (size(ta).cast("double"), size(tb).cast("double"))
+    val inter = size(array_intersect(ta, tb)).cast("double")
+    when(na === 0 && nb === 0, lit(1.0))
+      .when(na === 0 || nb === 0, lit(0.0))
+      .otherwise(coeff(inter, na, nb))
+  }
+
+  /** Sørensen–Dice: 2|∩| / (|A| + |B|). */
+  def tokenDice(a: Column, b: Column): Column =
+    setCoefficient(a, b)((i, na, nb) => i * 2.0 / (na + nb))
+
+  /** Overlap coefficient: |∩| / min(|A|, |B|). */
+  def tokenOverlap(a: Column, b: Column): Column =
+    setCoefficient(a, b)((i, na, nb) => i / least(na, nb))
+
+  /** Token-set cosine (Ochiai): |∩| / sqrt(|A|·|B|). */
+  def tokenCosine(a: Column, b: Column): Column =
+    setCoefficient(a, b)((i, na, nb) => i / sqrt(na * nb))
+
   /** DuckDB SQL mirrors (same rounding applied at the call site). */
   def levSimSql(a: String, b: String): String =
     s"CASE WHEN length($a) = 0 AND length($b) = 0 THEN 1.0 " +
@@ -203,4 +234,35 @@ object Similarity {
 
   def jwSql(a: String, b: String): String =
     s"jaro_winkler_similarity($a, $b)"
+
+  private def tokenSetSql(x: String): String =
+    s"list_distinct(list_filter(string_split($x, ' '), w -> w != ''))"
+
+  private def setCoefficientSql(a: String, b: String, coeff: String): String =
+    s"""CASE
+       |  WHEN length(${tokenSetSql(a)}) = 0 AND length(${tokenSetSql(b)}) = 0 THEN 1.0
+       |  WHEN length(${tokenSetSql(a)}) = 0 OR length(${tokenSetSql(b)}) = 0 THEN 0.0
+       |  ELSE $coeff END""".stripMargin
+
+  private def interSql(a: String, b: String): String =
+    s"CAST(length(list_intersect(${tokenSetSql(a)}, ${tokenSetSql(b)})) AS DOUBLE)"
+  private def nSql(x: String): String =
+    s"CAST(length(${tokenSetSql(x)}) AS DOUBLE)"
+
+  def tokenJaccardSql(a: String, b: String): String =
+    setCoefficientSql(a, b,
+      s"${interSql(a, b)} / CAST(length(list_distinct(list_concat(" +
+        s"${tokenSetSql(a)}, ${tokenSetSql(b)}))) AS DOUBLE)")
+
+  def tokenDiceSql(a: String, b: String): String =
+    setCoefficientSql(a, b,
+      s"${interSql(a, b)} * 2.0 / (${nSql(a)} + ${nSql(b)})")
+
+  def tokenOverlapSql(a: String, b: String): String =
+    setCoefficientSql(a, b,
+      s"${interSql(a, b)} / least(${nSql(a)}, ${nSql(b)})")
+
+  def tokenCosineSql(a: String, b: String): String =
+    setCoefficientSql(a, b,
+      s"${interSql(a, b)} / sqrt(${nSql(a)} * ${nSql(b)})")
 }

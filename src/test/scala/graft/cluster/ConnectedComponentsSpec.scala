@@ -55,6 +55,18 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("reliable checkpoints produce identical components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_l", "id_r")
+    val (local, _) = ConnectedComponents.run(edges)
+    val (reliable, _) = ConnectedComponents.run(edges,
+      reliableCheckpoints = true)
+    assert(reliable.collect().toSet == local.collect().toSet)
+  }
+
   test("superstep trail is recorded and converges") {
     val chain = (0 until 40).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
     val (members, steps) = ConnectedComponents.run(chain.toDF("id_l", "id_r"))
