@@ -284,6 +284,11 @@ object SparkEntry {
     "q27_doc_ngram_jaccard" -> ((s, dir) =>
       graft.text.TextOps.ngramJaccardPairs(graft.text.TextOps.corpus(s, dir))),
 
+    // 64-bit SimHash near-dup via banded Hamming join (capped)
+    "q28_doc_simhash_hamming" -> ((s, dir) =>
+      graft.text.TextOps.simhashHammingPairs(
+        graft.text.TextOps.corpus(s, dir))),
+
     // embedding vector stats
     "q30_emb_stats" -> ((s, dir) =>
       graft.emb.EmbeddingOps.vectorStats(
@@ -297,6 +302,11 @@ object SparkEntry {
     // sign-bit LSH bucketed near-dup (ANN scale path)
     "q32_emb_lsh_pairs" -> ((s, dir) =>
       graft.emb.EmbeddingOps.lshNearDup(
+        graft.emb.EmbeddingOps.embeddings(s, dir))),
+
+    // IVF coarse-quantized ANN (probe nearest cells only)
+    "q43_ann_ivf" -> ((s, dir) =>
+      graft.emb.EmbeddingOps.ivfTopK(
         graft.emb.EmbeddingOps.embeddings(s, dir))),
 
     // multimodal: binary payload + batched stub decode (mapPartitions)
@@ -500,9 +510,12 @@ object SparkEntry {
       ",\n" + graft.text.TextOps.minhashPairsSql()),
     "q27_doc_ngram_jaccard" -> ("WITH " + graft.text.TextOps.corpusCte +
       ",\n" + graft.text.TextOps.ngramJaccardSql()),
+    "q28_doc_simhash_hamming" -> ("WITH " + graft.text.TextOps.corpusCte +
+      ",\n" + graft.text.TextOps.simhashHammingPairsSql()),
     "q30_emb_stats" -> graft.emb.EmbeddingOps.vectorStatsSql,
     "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
+    "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql
   ) ++ recursiveOracles
 

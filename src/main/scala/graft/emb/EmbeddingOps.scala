@@ -95,6 +95,108 @@ object EmbeddingOps {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
+  // ---------- IVF coarse-quantized ANN ----------
+
+  /** IVF(-flat) approximate nearest neighbour — the classic
+    * inverted-file scale path: coarse-quantize the corpus into
+    * `nCentroids` cells, probe only the `nprobe` cells nearest each
+    * query, rank by exact cosine within the probed cells.
+    *
+    * Centroids are DETERMINISTIC (the nCentroids lowest vec_ids) so
+    * both engines derive the identical coarse quantizer — a production
+    * deployment plugs spark.ml KMeans centroids into the same plan
+    * shape. `nprobe = nCentroids` degenerates to exact brute force
+    * (asserted in EmbeddingOpsSpec).
+    *
+    * Scale: assignment is a broadcast nested-loop over nCentroids
+    * literal-sized centroids + one shuffle on vec_id for the argmin
+    * window; the per-query search touches |probed cells| ≈
+    * nprobe/nCentroids of the corpus instead of all of it. (At 10^9+
+    * vectors swap the argmin window for groupBy+min_by — same result,
+    * map-side partial — and raise nCentroids ~ sqrt(N).)
+    */
+  def ivfTopK(e: DataFrame, nCentroids: Int = 16, nprobe: Int = 4,
+              nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
+    val cents = d.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // exact integer L2² between quantized vectors — portable argmin
+    val l2 = aggregate(zip_with(col("v"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val assign = d.crossJoin(broadcast(cents))
+      .withColumn("dist", l2)
+      .withColumn("rnk", row_number().over(wAssign))
+    val cells = assign.filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val probes = assign
+      .filter(col("vec_id") < nQueries && col("rnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    val qv = d.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = probes.join(cells, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qv), "query_id")
+      .withColumn("cosine", cosineQ(col("qv"), col("v")))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cosine", "rank")
+  }
+
+  def ivfTopKSql(nCentroids: Int = 16, nprobe: Int = 4,
+                 nQueries: Int = 8, k: Int = 10): String = {
+    val l2 = "list_sum(list_transform(list_zip(v, cv), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    val cos =
+      """floor(list_sum(list_transform(list_zip(qv, v),
+        |            p -> p[1] * p[2])) /
+        |      greatest(sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |               sqrt(list_sum(list_transform(v, x -> x * x))), 1e-12)
+        |      * 10000.0) / 10000.0""".stripMargin
+    s"""quantized AS (
+       |  SELECT vec_id, $quantSql AS v FROM embeddings
+       |),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM quantized
+       |  WHERE vec_id < $nCentroids
+       |),
+       |assign AS (
+       |  SELECT vec_id, cent_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY $l2, cent_id) AS rnk
+       |  FROM quantized CROSS JOIN cents
+       |),
+       |cells AS (
+       |  SELECT a.vec_id, q.v, a.cent_id AS cell
+       |  FROM assign a JOIN quantized q ON a.vec_id = q.vec_id
+       |  WHERE a.rnk = 1
+       |),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell FROM assign
+       |  WHERE vec_id < $nQueries AND rnk <= $nprobe
+       |),
+       |qvs AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM quantized
+       |  WHERE vec_id < $nQueries
+       |),
+       |ivfscored AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    $cos AS cosine
+       |  FROM probes p
+       |  JOIN cells c ON c.cell = p.cell AND c.vec_id != p.query_id
+       |  JOIN qvs ON qvs.query_id = p.query_id
+       |)
+       |SELECT query_id, vec_id, cosine, rank FROM (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       |  FROM ivfscored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // ---------- random-hyperplane LSH ----------
 
   /** Planes per signature; split into [[LshBands]] bands (banding = OR

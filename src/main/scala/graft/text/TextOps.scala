@@ -237,6 +237,100 @@ object TextOps {
     s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM corpus"
   }
 
+  // ---------- 64-bit SimHash + banded Hamming near-dup ----------
+
+  /** 64-bit SimHash: bit k set iff the majority of tokens have bit k
+    * set, where token bit k = bit (k mod 4) of hex digit (k div 4) of
+    * md5(token). The 16-bit [[simhash]] stays as the cheap fingerprint
+    * column; this is the pairing-grade signature.
+    */
+  def simhash64(c: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val n = size(t)
+    val bits = (0 until 64).map { k =>
+      val cnt = size(filter(t, w =>
+        conv(substring(md5(w), k / 4 + 1, 1), 16, 10).cast("int")
+          .bitwiseAND(lit(1 << (k % 4))) > 0))
+      when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
+    }
+    c.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash64"))
+  }
+
+  val simhash64Sql: String = {
+    val bits = (0 until 64).map { k =>
+      s"""(CASE WHEN 2 * length(list_filter($tokensSql,
+         |  w -> ((strpos('0123456789abcdef', substring(md5(w), ${k / 4 + 1}, 1)) - 1)
+         |        & ${1 << (k % 4)}) > 0)) > length($tokensSql)
+         |  THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin
+    }.mkString(" |\n  ")
+    s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash64 FROM corpus"
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance, banded: split the 64
+    * bits into 4 × 16-bit bands — by pigeonhole, two signatures within
+    * Hamming ≤ 3 MUST agree on at least one band, and small distances
+    * generally collide on some band — equi-join per band (bucket-capped
+    * like every other hot-key join here), union, then verify
+    * bit_count(xor) ≤ maxHamming. Never all-pairs; verification only
+    * touches banded candidates.
+    *
+    * Band keys are masked (sig & (0xffff << 16b)), not shifted —
+    * arithmetic-shift semantics on negative longs differ across
+    * engines, mask-equality does not.
+    */
+  def simhashHammingPairs(c: DataFrame, maxHamming: Int = 8,
+                          bandCap: Int = BandCap): DataFrame = {
+    val sig = simhash64(c).localCheckpoint()
+    val bands = (0 until 4).map { b =>
+      val key = col("simhash64").bitwiseAND(lit(65535L << (16 * b)))
+      val banded = sig.select(col("doc_id"), col("simhash64"), key.as("k"))
+      val keep = banded.groupBy("k").agg(count(lit(1)).as("_bucket_n"))
+        .filter(col("_bucket_n") <= bandCap).drop("_bucket_n")
+      val capped = banded.join(keep, Seq("k"), "left_semi")
+      capped.select(col("doc_id").as("id_l"), col("simhash64").as("s_l"),
+          col("k"))
+        .join(capped.select(col("doc_id").as("id_r"),
+          col("simhash64").as("s_r"), col("k")), "k")
+        .filter(col("id_l") < col("id_r"))
+        .select("id_l", "id_r", "s_l", "s_r")
+    }
+    bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+      .withColumn("hamming",
+        bit_count(col("s_l").bitwiseXOR(col("s_r"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_l", "id_r", "hamming")
+  }
+
+  def simhashHammingPairsSql(maxHamming: Int = 8,
+                             bandCap: Int = BandCap): String = {
+    val bandCtes = (0 until 4).map { b =>
+      val mask = 65535L << (16 * b)
+      s"""hband$b AS (
+         |  SELECT doc_id, simhash64, simhash64 & CAST($mask AS BIGINT) AS k
+         |  FROM hsig
+         |  WHERE (simhash64 & CAST($mask AS BIGINT)) IN (
+         |    SELECT simhash64 & CAST($mask AS BIGINT) FROM hsig
+         |    GROUP BY 1 HAVING count(*) <= $bandCap)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bandJoins = (0 until 4).map { b =>
+      s"""SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+         |    l.simhash64 AS s_l, r.simhash64 AS s_r
+         |  FROM hband$b l JOIN hband$b r
+         |  ON l.k = r.k AND l.doc_id < r.doc_id""".stripMargin
+    }.mkString("\n  UNION\n  ")
+    s"""hsig AS (
+       |  $simhash64Sql
+       |),
+       |$bandCtes,
+       |hcand AS (
+       |  $bandJoins
+       |)
+       |SELECT id_l, id_r, CAST(bit_count(xor(s_l, s_r)) AS INT) AS hamming
+       |FROM hcand
+       |WHERE bit_count(xor(s_l, s_r)) <= $maxHamming""".stripMargin
+  }
+
   // ---------- MinHash + LSH near-dup ----------
 
   val MinHashFns = 8

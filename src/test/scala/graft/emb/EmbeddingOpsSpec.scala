@@ -51,6 +51,23 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
     assert(pairs.forall(_.getDouble(2) >= 0.1))
   }
 
+  test("IVF with nprobe = nCentroids is exactly brute force; partial probe recall reported") {
+    val exact = EmbeddingOps.bruteForceTopK(emb, nQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val full = EmbeddingOps.ivfTopK(emb, nCentroids = 16, nprobe = 16,
+      nQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == exact) // probing every cell degenerates to exact search
+    val probed = EmbeddingOps.ivfTopK(emb, nCentroids = 16, nprobe = 4,
+      nQueries = 4, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.values.zip(exact.keys).count { case (v, (q, _)) =>
+      probed.contains((q, v)) }.toDouble / exact.size
+    info(s"IVF recall@5 at nprobe=4/16: $recall")
+    assert(recall > 0.0) // gaussian corpus has weak cells; exactness is
+                         // the invariant, recall is reported
+  }
+
   test("LSH recall >= 0.9 on planted near-dup vectors") {
     // plant a near-identical copy of every vector (deterministic small
     // perturbation, cosine ≈ 0.999); ground truth = (i, i + 100000)

@@ -87,6 +87,27 @@ class TextOpsSpec extends AnyFunSuite with SparkSuite {
     assert(fp(2L) == 2)
   }
 
+  test("simhash hamming pairs: identical docs at distance 0, disjoint docs excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical → hamming 0
+      (3L, "zulu yankee xray whiskey victor uniform tango sierra"))
+      .toDF("doc_id", "text")
+    val got = TextOps.simhashHammingPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 0)
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("simhash64 is a deterministic pure function of tokens") {
+    val docs = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val sig = TextOps.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L)) // order-independent (bag of tokens)
+    assert(sig(1L) != sig(3L))
+  }
+
   test("minhash band cap drops boilerplate-hot buckets") {
     // 250 identical docs: every band bucket holds all 250 (> BandCap
     // 200) — without the cap this is a quadratic straggler; with it
