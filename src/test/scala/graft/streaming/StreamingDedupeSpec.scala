@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import java.sql.Timestamp
+
+class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
+
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming firstSeen drops duplicate content across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[(Long, String, Timestamp)]
+    val docs = source.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedupe.firstSeen(docs)
+      .writeStream.format("memory").queryName("first_seen")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts, one in-batch duplicate
+      source.addData((1L, "alpha beta", ts(0)), (2L, "gamma delta", ts(1)),
+        (3L, "alpha beta", ts(2)))
+      q.processAllAvailable()
+      // batch 2: a cross-batch duplicate and one new text
+      source.addData((4L, "alpha beta", ts(3)), (5L, "epsilon zeta", ts(4)))
+      q.processAllAvailable()
+      val seen = spark.table("first_seen")
+        .select("text").as[String].collect().sorted.toSeq
+      assert(seen == Seq("alpha beta", "epsilon zeta", "gamma delta"))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps per-conversation running state") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.TurnEvent]
+    val q = StreamingDedupe.runningConversationStats(source.toDS())
+      .writeStream.format("memory").queryName("conv_stats")
+      .outputMode("update").start()
+    try {
+      source.addData(
+        StreamingDedupe.TurnEvent("c1", 2, "world"),
+        StreamingDedupe.TurnEvent("c1", 1, "hello"),
+        StreamingDedupe.TurnEvent("c2", 1, "solo"))
+      q.processAllAvailable()
+      source.addData(StreamingDedupe.TurnEvent("c1", 3, "again"))
+      q.processAllAvailable()
+      val last = spark.table("conv_stats")
+        .groupBy("conv_id")
+        .agg(max(struct(col("n_turns"), col("head_text"), col("last_text")))
+          .as("s"))
+        .select("conv_id", "s.*")
+        .collect().map(r => r.getString(0) ->
+          ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+      // state accumulated ACROSS batches; head pinned to lowest turn_idx
+      assert(last("c1") == ((3, "hello", "again")))
+      assert(last("c2") == ((1, "solo", "solo")))
+    } finally q.stop()
+  }
+}
