@@ -311,7 +311,11 @@ object SparkEntry {
 
     // multimodal: binary payload + batched stub decode (mapPartitions)
     "q40_media_features" -> ((s, dir) =>
-      graft.media.MediaOps.mediaFeatures(s, dir)))
+      graft.media.MediaOps.mediaFeatures(s, dir)),
+
+    // multimodal: frame-sample explode + binary slicing + resize math
+    "q44_media_frames" -> ((s, dir) =>
+      graft.media.MediaOps.frameSamples(s, dir)))
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> ("WITH " + Transcripts.oracleCte +
@@ -516,7 +520,8 @@ object SparkEntry {
     "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
     "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
-    "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql
+    "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
+    "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql
   ) ++ recursiveOracles
 
   private def docOracle(select: String): String =

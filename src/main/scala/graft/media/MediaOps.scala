@@ -84,6 +84,59 @@ object MediaOps {
         col("width"), col("height"), col("n_frames"),
         size(col("sample_frames")).as("n_sampled"))
 
+  /** Frame-sample + resize plumbing (the remaining multimodal verbs):
+    * explode each asset into its sampled frame rows — frame payload =
+    * a deterministic byte-slice of the binary (STUB standing in for a
+    * real frame grab; the per-frame row shape, binary slicing, and
+    * explode-join plumbing are the real Spark-side work) — plus
+    * fit-into-64×64 resize arithmetic on the decoded dimensions
+    * (integer math; a real resampler consumes these target dims).
+    */
+  def frameSamples(spark: SparkSession, sfDir: String): DataFrame = {
+    val a = assets(spark, sfDir).toDF()
+    val f = extractFeatures(assets(spark, sfDir)).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("sample_frames"))
+    a.join(f, "doc_id")
+      .select(col("doc_id"), col("payload"), col("width"), col("height"),
+        explode(col("sample_frames")).as("frame_idx"))
+      .select(
+        col("doc_id"), col("frame_idx"),
+        // stub frame grab: 4-byte slice at a frame-dependent offset
+        lower(hex(expr("substring(payload, frame_idx * 4 % 12 + 1, 4)")))
+          .as("frame_hex"),
+        // fit-in-64x64, aspect preserved, integer-exact
+        greatest(floor(col("width") * 64 /
+          greatest(col("width"), col("height"))), lit(1))
+          .cast("int").as("resized_w"),
+        greatest(floor(col("height") * 64 /
+          greatest(col("width"), col("height"))), lit(1))
+          .cast("int").as("resized_h"))
+  }
+
+  /** DuckDB mirror of [[frameSamples]] — same nibble-derived decode,
+    * byte-slicing on unhex(md5(text)), and resize arithmetic. */
+  val frameSamplesSql: String = {
+    def nib(i: Int) =
+      s"(CASE WHEN ascii(substring(md5(text), ${i + 1}, 1)) >= 97 " +
+        s"THEN ascii(substring(md5(text), ${i + 1}, 1)) - 87 " +
+        s"ELSE ascii(substring(md5(text), ${i + 1}, 1)) - 48 END)"
+    val w = s"(64 + (${nib(0)} * 16 + ${nib(1)}) % 192)"
+    val h = s"(64 + (${nib(2)} * 16 + ${nib(3)}) % 192)"
+    val n = s"(1 + ${nib(4)} % 8)"
+    s"""SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       |  substring(md5(text), ((frame_idx * 4) % 12) * 2 + 1, 8)
+       |    AS frame_hex,
+       |  CAST(greatest(floor($w * 64 / greatest($w, $h)), 1) AS INT)
+       |    AS resized_w,
+       |  CAST(greatest(floor($h * 64 / greatest($w, $h)), 1) AS INT)
+       |    AS resized_h
+       |FROM (
+       |  SELECT doc_id, text,
+       |    unnest(range(0, $n, CAST(ceil($n / 4.0) AS INT))) AS frame_idx
+       |  FROM documents)""".stripMargin
+  }
+
   /** DuckDB mirror of the stub decode: same nibble arithmetic on the
     * md5 HEX STRING (identical to the payload's hex digest).
     */

@@ -35,4 +35,19 @@ class MediaOpsSpec extends AnyFunSuite with SparkSuite {
     val expectStep = math.max(1, math.ceil(f.n_frames / 4.0).toInt)
     assert(f.sample_frames == (0 until f.n_frames by expectStep).toSeq)
   }
+
+  test("frameSamples: one row per sampled frame, binary slice, resize fits 64-box") {
+    val frames = MediaOps.frameSamples(spark, sfDir)
+    val feats = MediaOps.mediaFeatures(spark, sfDir)
+    // row count = sum of per-asset sampled-frame counts
+    val expected = feats.agg(org.apache.spark.sql.functions.sum("n_sampled"))
+      .head().getLong(0)
+    assert(frames.count() == expected)
+    frames.collect().foreach { r =>
+      assert(r.getAs[String]("frame_hex").length == 8) // 4 bytes → 8 hex
+      val (w, h) = (r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+      assert(w >= 1 && w <= 64 && h >= 1 && h <= 64)
+      assert(w == 64 || h == 64) // aspect-fit: long edge pinned to 64
+    }
+  }
 }
