@@ -12,7 +12,8 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_normalize", "q06_candidate_pairs", "q11_scores",
-        "q16_tfidf_cosine", "q31_ann_topk")
+        "q16_tfidf_cosine", "q26_doc_minhash_pairs", "q28_doc_simhash_hamming",
+        "q31_ann_topk", "q32_emb_lsh_pairs", "q43_ann_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
