@@ -315,7 +315,35 @@ object SparkEntry {
 
     // multimodal: frame-sample explode + binary slicing + resize math
     "q44_media_frames" -> ((s, dir) =>
-      graft.media.MediaOps.frameSamples(s, dir)))
+      graft.media.MediaOps.frameSamples(s, dir)),
+
+    // A1+A2+O2/O3 math: per-conjunction learner stats (n_pairs /
+    // positives / negatives / rr) for a fixed conjunction menu — the
+    // quantities the DP search orders by, oracle-checked
+    "q45_conj_scores" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val labels = Labels.plantedLabels(s, dir)
+      val menu = Seq(
+        "c_prefix8" -> prefix8Head,
+        "c_two" -> twoScheme,
+        "c_ngram6" -> ngram6Head)
+      menu.map { case (name, conj) =>
+        Blocking.candidatePairs(recs, conj, "conv_id", Cap)
+          .join(labels, Seq("id_l", "id_r"), "left")
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(when(col("label") === 1, 1L)), lit(0L))
+              .as("positives"),
+            coalesce(sum(when(col("label") === 0, 1L)), lit(0L))
+              .as("negatives"))
+          .withColumn("conj", lit(name))
+      }.reduce(_ unionByName _)
+        .crossJoin(recs.agg(count(lit(1)).as("_n")))
+        .select(col("conj"), col("n_pairs"), col("positives"),
+          col("negatives"),
+          (floor((lit(1.0) - col("n_pairs") /
+            (col("_n") * (col("_n") - 1) / 2.0)) * 1000000.0)
+            / 1000000.0).as("rr"))
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q01_transcripts" -> ("WITH " + Transcripts.oracleCte +
@@ -521,11 +549,71 @@ object SparkEntry {
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
     "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
-    "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql
+    "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
+    "q45_conj_scores" -> conjScoresOracle
   ) ++ recursiveOracles
 
   private def docOracle(select: String): String =
     "WITH " + graft.text.TextOps.corpusCte + "\n" + select
+
+  /** q45: per-conjunction learner stats mirrored in SQL — one renamed
+    * capped-pair CTE block per conjunction, unioned stats. */
+  private def conjScoresOracle: String = {
+    def cappedBlock(tag: String, sigsCte: String, nSigs: Int): Seq[String] = {
+      val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
+      val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i")
+        .mkString(" AND ")
+      Seq(sigsCte,
+        s"""cap_$tag AS (
+           |  SELECT * FROM sig_$tag WHERE ($sigs) IN (
+           |    SELECT ($sigs) FROM sig_$tag GROUP BY $sigs
+           |    HAVING count(*) <= $Cap)
+           |),
+           |pairs_$tag AS (
+           |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+           |  FROM cap_$tag l JOIN cap_$tag r ON $eqs AND l.conv_id < r.conv_id
+           |)""".stripMargin)
+    }
+    val blocks =
+      cappedBlock("a",
+        """sig_a AS (
+          |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0 FROM normalized
+          |  WHERE substring(head_text, 1, 8) != ''
+          |)""".stripMargin, 1) ++
+      cappedBlock("b",
+        s"""sig_b AS (
+           |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
+           |         ${Acronym.sql("role_seq")} AS sig_1
+           |  FROM normalized
+           |  WHERE substring(head_text, 1, 6) != ''
+           |    AND ${Acronym.sql("role_seq")} != ''
+           |)""".stripMargin, 2) ++
+      cappedBlock("c",
+        s"""sig_c AS (
+           |  SELECT conv_id, sig_0 FROM (
+           |    SELECT conv_id, unnest(${OracleSql.ngramList("head_text", 6)}) AS sig_0
+           |    FROM normalized)
+           |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
+           |)""".stripMargin, 1)
+    def stats(name: String, tag: String) =
+      s"""SELECT '$name' AS conj, count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 END), 0) AS BIGINT) AS positives,
+         |  CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 END), 0) AS BIGINT) AS negatives
+         |FROM pairs_$tag p LEFT JOIN labels l
+         |  ON p.id_l = l.id_l AND p.id_r = l.id_r""".stripMargin
+    OracleSql.withNormalized(
+      blocks ++ Seq(OracleSql.labelsCte),
+      s"""SELECT conj, n_pairs, positives, negatives,
+         |  floor((1.0 - n_pairs / (n * (n - 1) / 2.0)) * 1000000.0)
+         |    / 1000000.0 AS rr
+         |FROM (
+         |  ${stats("c_prefix8", "a")}
+         |  UNION ALL
+         |  ${stats("c_two", "b")}
+         |  UNION ALL
+         |  ${stats("c_ngram6", "c")}
+         |) CROSS JOIN (SELECT count(*) AS n FROM normalized)""".stripMargin)
+  }
 
   /** q13/q14 need WITH RECURSIVE, which must prefix the whole WITH
     * clause — assembled separately. */
