@@ -317,6 +317,49 @@ object SparkEntry {
     "q44_media_frames" -> ((s, dir) =>
       graft.media.MediaOps.frameSamples(s, dir)),
 
+    // P4: predicate delete + resample — drop the unlabeled half of the
+    // train union, resample with the next seed (reference's
+    // delete-sample-rows + fresh draw, recompute pattern)
+    "q46_resample" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val labels = Labels.plantedLabels(s, dir)
+      val labeledIds = labels.select(col("id_l").as("conv_id"))
+        .unionByName(labels.select(col("id_r").as("conv_id"))).distinct()
+      val train = graft.pipeline.Dedupe.trainSample(recs, labels, 400, 42L)
+      // delete: unlabeled sample rows; resample: fresh md5 draw, seed+1
+      train.join(labeledIds, Seq("conv_id"), "left_semi")
+        .unionByName(recs
+          .orderBy(md5(concat(lit("43:"), col("conv_id"))), col("conv_id"))
+          .limit(400))
+        .dropDuplicates("conv_id")
+        .select("conv_id")
+    }),
+
+    // S5: scores sink — rule scores written through the TableIO stage
+    // layer (commit marker + lineage) and read back
+    "q47_scores_sink" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-io-q47").toString
+      new graft.io.TableIO(s, tmp).stage("scores", Seq(dir)) {
+        rulePairsScored(s, dir)
+      }
+    }),
+
+    // O5: deterministic result ordering — the assembled cluster output
+    // with its ORDER BY materialized as a rank column (hash-checkable)
+    "q48_ordered_result" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val recs = records(s, dir)
+      val edges = rulePairsScored(s, dir).filter(col("score") > 0.8)
+      val comps = ConnectedComponents.run(edges)._1
+      recs.select("conv_id")
+        .join(comps.withColumnRenamed("id", "conv_id"), Seq("conv_id"), "left")
+        .select(col("conv_id"),
+          coalesce(col("component"), col("conv_id")).as("component"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("component"), col("conv_id"))))
+    }),
+
     // A1+A2+O2/O3 math: per-conjunction learner stats (n_pairs /
     // positives / negatives / rr) for a fixed conjunction menu — the
     // quantities the DP search orders by, oracle-checked
@@ -520,6 +563,23 @@ object SparkEntry {
     "q41_io_roundtrip" -> OracleSql.withNormalized(Nil,
       "SELECT * FROM normalized"),
 
+    "q46_resample" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte),
+      """SELECT DISTINCT conv_id FROM (
+        |  SELECT conv_id FROM normalized WHERE conv_id IN (
+        |    SELECT id_l FROM labels UNION SELECT id_r FROM labels)
+        |  UNION ALL
+        |  SELECT conv_id FROM (
+        |    SELECT conv_id FROM normalized
+        |    ORDER BY md5('43:' || conv_id), conv_id LIMIT 400)
+        |)""".stripMargin),
+
+    "q47_scores_sink" -> OracleSql.withNormalized(
+      Seq(OracleSql.prefixSignatures("head_text", 8),
+        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+        OracleSql.ruleScoreCte),
+      "SELECT * FROM scored"),
+
     "q42_upsert" -> OracleSql.withNormalized(Nil,
       "SELECT * FROM normalized"),
 
@@ -638,7 +698,16 @@ object SparkEntry {
           |SELECT n.conv_id, coalesce(comp.component, n.conv_id) AS component,
           |       n.n_turns
           |FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id""".stripMargin),
-      "q34_linkage_clusters" -> linkageClustersOracle)
+      "q34_linkage_clusters" -> linkageClustersOracle,
+      "q48_ordered_result" -> (prefix +
+        """,
+          |components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)
+          |SELECT conv_id, component,
+          |  CAST(row_number() OVER (ORDER BY component, conv_id) AS INT) AS rn
+          |FROM (
+          |  SELECT n.conv_id,
+          |         coalesce(comp.component, n.conv_id) AS component
+          |  FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id)""".stripMargin))
   }
 
   /** q34: the RecordLinkage pipeline mirrored in SQL — two blocking
