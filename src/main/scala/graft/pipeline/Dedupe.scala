@@ -221,6 +221,10 @@ object Dedupe {
     val tp = predicted.join(truth, Seq("id_l", "id_r"), "left_semi").count()
     val fp = predicted.count() - tp
     val fn = truth.count() - tp
+    // release: callers (e.g. the active-learning loop) evaluate this
+    // repeatedly — leaving the cache pinned would accumulate per round
+    predicted.unpersist()
+    truth.unpersist()
     val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
     val recall = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
     val f1 = if (precision + recall == 0) 0.0
