@@ -284,6 +284,10 @@ object SparkEntry {
     "q27_doc_ngram_jaccard" -> ((s, dir) =>
       graft.text.TextOps.ngramJaccardPairs(graft.text.TextOps.corpus(s, dir))),
 
+    // repetition/boilerplate quality filters (top token/bigram ratio)
+    "q29_doc_repetition" -> ((s, dir) =>
+      graft.text.TextOps.repetition(graft.text.TextOps.corpus(s, dir))),
+
     // 64-bit SimHash near-dup via banded Hamming join (capped)
     "q28_doc_simhash_hamming" -> ((s, dir) =>
       graft.text.TextOps.simhashHammingPairs(
@@ -604,6 +608,7 @@ object SparkEntry {
       ",\n" + graft.text.TextOps.ngramJaccardSql()),
     "q28_doc_simhash_hamming" -> ("WITH " + graft.text.TextOps.corpusCte +
       ",\n" + graft.text.TextOps.simhashHammingPairsSql()),
+    "q29_doc_repetition" -> docOracle(graft.text.TextOps.repetitionSql),
     "q30_emb_stats" -> graft.emb.EmbeddingOps.vectorStatsSql,
     "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),

@@ -237,6 +237,46 @@ object TextOps {
     s"SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM corpus"
   }
 
+  // ---------- repetition / boilerplate detection ----------
+
+  /** Gopher-style repetition filters: fraction of the document made of
+    * its single most frequent token, and of its most frequent token
+    * bigram — the classic web-scale "repeated boilerplate" quality
+    * signals. Map-only, pure builtins (per-row O(distinct²) over small
+    * token lists). Quantized floor(x·10⁴)/10⁴ for engine parity.
+    */
+  def repetition(c: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    def domRatio(items: Column): Column = {
+      val n = size(items).cast("double")
+      val top = array_max(transform(array_distinct(items),
+        d => size(filter(items, w => w === d))))
+        .cast("double")
+      when(n === 0, lit(0.0)).otherwise(top / n)
+    }
+    val bigrams = shingles(2)
+    c.select(col("doc_id"),
+      size(t).as("n_tokens"),
+      q4(domRatio(t)).as("top_token_ratio"),
+      q4(domRatio(bigrams)).as("top_bigram_ratio"))
+  }
+
+  val repetitionSql: String = {
+    def domRatio(items: String) =
+      s"""CASE WHEN length($items) = 0 THEN 0.0
+         |  ELSE CAST(list_max(list_transform(list_distinct($items),
+         |    d -> length(list_filter($items, w -> w = d)))) AS DOUBLE) /
+         |    length($items) END""".stripMargin
+    val bigrams = shinglesSql(2)
+    s"""SELECT doc_id,
+       |  CAST(length($tokensSql) AS INT) AS n_tokens,
+       |  floor((${domRatio(tokensSql)}) * 10000.0) / 10000.0
+       |    AS top_token_ratio,
+       |  floor((${domRatio(bigrams)}) * 10000.0) / 10000.0
+       |    AS top_bigram_ratio
+       |FROM corpus""".stripMargin
+  }
+
   // ---------- 64-bit SimHash + banded Hamming near-dup ----------
 
   /** 64-bit SimHash: bit k set iff the majority of tokens have bit k

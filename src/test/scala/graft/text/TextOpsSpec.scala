@@ -87,6 +87,18 @@ class TextOpsSpec extends AnyFunSuite with SparkSuite {
     assert(fp(2L) == 2)
   }
 
+  test("repetition ratios: hand-checked top-token and top-bigram dominance") {
+    val docs = Seq(
+      (1L, "spam spam spam eggs"),      // top token 3/4; bigram "spam spam" 2/3
+      (2L, "a b c d"),                  // all unique: 1/4, 1/3
+      (3L, "")).toDF("doc_id", "text")  // empty → 0
+    val got = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((0.75, 0.6666)))
+    assert(got(2L) == ((0.25, 0.3333)))
+    assert(got(3L) == ((0.0, 0.0)))
+  }
+
   test("simhash hamming pairs: identical docs at distance 0, disjoint docs excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
