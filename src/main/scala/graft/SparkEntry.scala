@@ -190,7 +190,8 @@ object SparkEntry {
     }),
 
     // M1 menu breadth: full distance-metric menu (jw / lev / jaccard /
-    // dice / overlap / cosine) over one attribute, runtime-config plan
+    // dice / overlap / cosine / hamming) over one attribute,
+    // runtime-config plan
     "q37_metric_menu" -> ((s, dir) =>
       Distances.featuresFor(
         Labels.plantedLabels(s, dir).select("id_l", "id_r"),

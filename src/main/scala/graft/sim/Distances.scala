@@ -51,7 +51,7 @@ object Distances {
   /** Distance-metric menu (pg_similarity family, docs distance.md):
     * all pure codegen'd expressions, each with a DuckDB SQL mirror. */
   val metricMenu: Seq[String] =
-    Seq("jw", "lev", "jaccard", "dice", "overlap", "cosine")
+    Seq("jw", "lev", "jaccard", "dice", "overlap", "cosine", "hamming")
 
   def metricCol(metric: String, l: org.apache.spark.sql.Column,
                 r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -62,6 +62,7 @@ object Distances {
       case "dice" => Similarity.tokenDice(l, r)
       case "overlap" => Similarity.tokenOverlap(l, r)
       case "cosine" => Similarity.tokenCosine(l, r)
+      case "hamming" => Similarity.hammingSim(l, r)
       case m => throw new IllegalArgumentException(s"unknown metric $m")
     }
 
@@ -73,6 +74,7 @@ object Distances {
       case "dice" => Similarity.tokenDiceSql(a, b)
       case "overlap" => Similarity.tokenOverlapSql(a, b)
       case "cosine" => Similarity.tokenCosineSql(a, b)
+      case "hamming" => Similarity.hammingSimSql(a, b)
       case m => throw new IllegalArgumentException(s"unknown metric $m")
     }
 

@@ -226,6 +226,19 @@ object Similarity {
   def tokenCosine(a: Column, b: Column): Column =
     setCoefficient(a, b)((i, na, nb) => i / sqrt(na * nb))
 
+  /** Hamming similarity (pg_similarity menu): defined only for
+    * equal-length strings — 1 − mismatches/len; unequal lengths → 0.0;
+    * two empties → 1.0. Char-wise zip over builtins.
+    */
+  def hammingSim(a: Column, b: Column): Column = {
+    val mism = size(filter(
+      zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
+      m => m))
+    when(length(a) === 0 && length(b) === 0, lit(1.0))
+      .when(length(a) =!= length(b), lit(0.0))
+      .otherwise(lit(1.0) - mism.cast("double") / length(a).cast("double"))
+  }
+
   /** DuckDB SQL mirrors (same rounding applied at the call site). */
   def levSimSql(a: String, b: String): String =
     s"CASE WHEN length($a) = 0 AND length($b) = 0 THEN 1.0 " +
@@ -265,4 +278,11 @@ object Similarity {
   def tokenCosineSql(a: String, b: String): String =
     setCoefficientSql(a, b,
       s"${interSql(a, b)} / sqrt(${nSql(a)} * ${nSql(b)})")
+
+  def hammingSimSql(a: String, b: String): String =
+    s"""CASE WHEN length($a) = 0 AND length($b) = 0 THEN 1.0
+       |  WHEN length($a) != length($b) THEN 0.0
+       |  ELSE 1.0 - CAST(length(list_filter(range(1, length($a) + 1),
+       |    i -> substring($a, i, 1) != substring($b, i, 1))) AS DOUBLE) /
+       |    length($a) END""".stripMargin
 }

@@ -31,6 +31,19 @@ class DistancesSpec extends AnyFunSuite with SparkSuite {
     assert(rows(("z", "z")) == ((1.0, 1.0, 1.0, 1.0)))
   }
 
+  test("hamming similarity: equal-length mismatch count, unequal -> 0") {
+    val recs = Seq(("x", "abcd"), ("y", "abed"), ("z", "ab"), ("w", ""))
+      .toDF("conv_id", "head_text")
+    val pairs = Seq(("x", "y"), ("x", "z"), ("w", "w")).toDF("id_l", "id_r")
+    val out = Distances.featuresFor(pairs, recs,
+      Seq(Distances.AttrSim("head_text", "hamming")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("x", "y")) == 0.75) // 1 mismatch of 4
+    assert(out(("x", "z")) == 0.0)  // unequal length
+    assert(out(("w", "w")) == 1.0)  // both empty
+  }
+
   test("default plan through featuresFor equals the hardwired kernel") {
     val recs = Seq(
       ("p", "alpha beta", "u a", "alpha beta gamma"),
