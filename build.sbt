@@ -27,7 +27,7 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap policy: fixed-size, pre-touched, clamped to 24g. Measured on
+// Heap policy: fixed-size, pre-touched, clamped to [2g, 12g]. Measured on
 // this box: an oversized max heap (e.g. 90g) makes the first pass of
 // every allocation-heavy stage 3-10x slower — the JVM grows the heap
 // instead of collecting, and faulting in + zeroing tens of GB of fresh

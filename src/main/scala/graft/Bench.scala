@@ -44,6 +44,12 @@ object Bench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    def readLoadavg(): Double = try {
+      java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadavgStart = readLoadavg()
+
     // ---- phase 1: ingest + normalize (cached once, like a real
     //      pipeline run) ----
     val (records, tNormalize) = time {
@@ -123,25 +129,32 @@ object Bench {
     val tScoring = math.min(tScoring1, tScoring2)
     val pps = nScored / tScoring
 
+    // "scoring" carries the SAME best-of-two value as scoring_sec so
+    // cross-round consumers of queries.scoring compare like with like;
+    // the raw passes stay as diagnostics
     val results = results0 ++ Seq("normalize" -> tNormalize,
       "blocking" -> tBlocking, "hydration" -> tHydration,
-      "scoring" -> tScoring1, "scoring_pass2" -> tScoring2)
+      "scoring" -> tScoring, "scoring_pass1" -> tScoring1,
+      "scoring_pass2" -> tScoring2)
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total = one representative run: each phase/query once, scoring
+    // counted once at its best-of-two value (the raw passes are
+    // diagnostics, not additional work a pipeline run would do)
+    val total = results
+      .filterNot(r => r._1 == "scoring_pass1" || r._1 == "scoring_pass2")
+      .map(_._2).sum
     // environment diagnostics: expose co-tenant load at measurement time
-    // (round-1 reproducibility gap) — 1-minute loadavg before/after
-    val loadavg = try {
-      java.nio.file.Files.readString(
-        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    // (round-1 reproducibility gap) — 1-minute loadavg at start AND end
+    val loadavg = readLoadavg()
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
     val json = s"""{"metric":"pairs_scored_per_sec","value":$pps,""" +
       s""""unit":"pairs/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""pairs_scored":$nScored,"n_pairs":$nPairs,"score_sum":$scoreSum,""" +
       s""""scoring_sec":$tScoring,"total_sec":$total,""" +
-      s""""loadavg_end":$loadavg,"heap_gb":${math.round(heapGb * 10) / 10.0}}"""
+      s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
+      s""""heap_gb":${math.round(heapGb * 10) / 10.0}}"""
     // stdout for the driver's line parser (build.sbt forwards forked
     // stdout unprefixed) AND a file so no consumer has to scrape logs
     println(json)

@@ -21,6 +21,22 @@ object OracleSql {
     s"$preamble$ctes\n$select"
   }
 
+  /** Mark the named CTEs `AS MATERIALIZED` (DuckDB ≥ 0.10 hint).
+    *
+    * DuckDB INLINES CTEs by default, so a CTE referenced k times — or
+    * referenced from inside a recursive CTE's step — is re-evaluated k
+    * times (× iterations). With whole pipelines stacked as CTEs
+    * (transcripts → normalized → pairs → features → scored → edges →
+    * sym → recursive walk) that turned the driver's correctness compare
+    * into minutes per query (the round-2 artifact came back EMPTY
+    * because of it: q16 alone took 381 s un-materialized, 0.8 s
+    * materialized). Applied SELECTIVELY — materialization blocks
+    * projection pushdown, so cheap single-reference chains stay inline.
+    */
+  def materialize(sql: String, names: Seq[String]): String =
+    names.foldLeft(sql)((s, n) =>
+      s.replace(n + " AS (", n + " AS MATERIALIZED ("))
+
   /** char n-gram list comprehension (range is upper-exclusive):
     * empty list when len < n — mirrors graft.block.FindNgrams. */
   def ngramList(attr: String, n: Int): String =

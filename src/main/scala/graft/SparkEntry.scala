@@ -139,16 +139,18 @@ object SparkEntry {
         Labels.plantedLabels(s, dir).select("id_l", "id_r"),
         records(s, dir))),
 
-    // J7: zip-join (row-aligned pairing via row_number, the reference's
-    // RL label synthesis zip, initialize.py:143-154)
+    // J7: zip-join (row-aligned pairing, the reference's RL label
+    // synthesis zip, initialize.py:143-154). Ranks are assigned via
+    // range-partitioned zipWithIndex (graft.plans.Ranks), NOT an
+    // unpartitioned row_number window — identical values, no
+    // single-task global sort.
     "q17_zip_join" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val recs = records(s, dir)
       def ranked(prefix: String, alias: String) =
-        recs.filter(col("conv_id").startsWith(prefix))
-          .select(col("conv_id").as(alias))
-          .withColumn("rank",
-            row_number().over(Window.orderBy(col(alias))))
+        graft.plans.Ranks.withRank(
+          recs.filter(col("conv_id").startsWith(prefix))
+            .select(col("conv_id").as(alias)),
+          Seq(col(alias)), "rank")
       ranked("c", "id_l").join(ranked("d", "id_r"), "rank")
         .select("rank", "id_l", "id_r")
     }),
@@ -189,14 +191,32 @@ object SparkEntry {
         "left_anti")
     }),
 
-    // M1 menu breadth: full distance-metric menu (jw / lev / jaccard /
-    // dice / overlap / cosine / hamming) over one attribute,
+    // M1 menu breadth: the 14 DuckDB-mirrorable metrics of the
+    // reference's 17-metric pg_similarity menu over one attribute,
     // runtime-config plan
     "q37_metric_menu" -> ((s, dir) =>
       Distances.featuresFor(
         Labels.plantedLabels(s, dir).select("id_l", "id_r"),
         records(s, dir),
         Distances.metricMenu.map(m => Distances.AttrSim("head_text", m)))),
+
+    // M1 menu, alignment tail: NW / SW / SW-Gotoh codegen'd DP
+    // expressions — DuckDB has no alignment functions, so no oracleSql
+    // entry (driver records the rows-only check); kernels are
+    // golden-tested in AlignmentSpec
+    "q49_alignment" -> ((s, dir) =>
+      Distances.featuresFor(
+        Labels.plantedLabels(s, dir).select("id_l", "id_r"),
+        records(s, dir),
+        Distances.alignmentMenu.map(m => Distances.AttrSim("head_text", m)))),
+
+    // G1 third blocking-key family (north star): sorted-neighborhood —
+    // rank by (head_text, conv_id), pair each record with its 3
+    // successors; rank via range-partitioned zipWithIndex, meet-key
+    // equi-join (no range join, no global window)
+    "q50_sorted_neighborhood" -> ((s, dir) =>
+      Blocking.sortedNeighborhoodPairs(records(s, dir),
+        col("head_text"), "conv_id", 3)),
 
     // A3: table counts (reference's per-table bookkeeping counts)
     "q38_table_counts" -> ((s, dir) => {
@@ -351,18 +371,19 @@ object SparkEntry {
     }),
 
     // O5: deterministic result ordering — the assembled cluster output
-    // with its ORDER BY materialized as a rank column (hash-checkable)
+    // with its ORDER BY materialized as a rank column (hash-checkable).
+    // Rank via range-partitioned zipWithIndex (graft.plans.Ranks), not
+    // a single-partition window.
     "q48_ordered_result" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val recs = records(s, dir)
       val edges = rulePairsScored(s, dir).filter(col("score") > 0.8)
       val comps = ConnectedComponents.run(edges)._1
-      recs.select("conv_id")
+      val assembled = recs.select("conv_id")
         .join(comps.withColumnRenamed("id", "conv_id"), Seq("conv_id"), "left")
         .select(col("conv_id"),
           coalesce(col("component"), col("conv_id")).as("component"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("component"), col("conv_id"))))
+      graft.plans.Ranks.withRank(assembled,
+        Seq(col("component"), col("conv_id")), "rn")
     }),
 
     // A1+A2+O2/O3 math: per-conjunction learner stats (n_pairs /
@@ -469,18 +490,22 @@ object SparkEntry {
     // q13_clusters / q14_cluster_joinback are in recursiveOracles
     // (they need a WITH RECURSIVE prefix)
 
-    "q15_uncertainty_topk" -> OracleSql.withNormalized(
-      Seq(OracleSql.prefixSignatures("head_text", 8),
-        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
-        OracleSql.ruleScoreCte),
-      """SELECT id_l, id_r, score FROM scored
-        |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin),
+    "q15_uncertainty_topk" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.prefixSignatures("head_text", 8),
+          OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+          OracleSql.ruleScoreCte),
+        """SELECT id_l, id_r, score FROM scored
+          |ORDER BY abs(score - 0.5), id_l, id_r LIMIT 10""".stripMargin),
+      Seq("transcripts", "normalized", "signatures", "capped")),
 
-    "q16_tfidf_cosine" -> OracleSql.withNormalized(
-      Seq(OracleSql.labelsCte,
-        "pairs AS (SELECT id_l, id_r FROM labels)",
-        graft.sim.TfIdf.oracleCtes()),
-      graft.sim.TfIdf.oracleSelect),
+    "q16_tfidf_cosine" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.labelsCte,
+          "pairs AS (SELECT id_l, id_r FROM labels)",
+          graft.sim.TfIdf.oracleCtes()),
+        graft.sim.TfIdf.oracleSelect),
+      Seq("transcripts", "normalized", "tf", "wts")),
 
     "q17_zip_join" -> OracleSql.withNormalized(Nil,
       """SELECT l.rank, l.id_l, r.id_r FROM
@@ -518,21 +543,25 @@ object SparkEntry {
       """SELECT conv_id FROM normalized
         |ORDER BY md5('42:' || conv_id), conv_id LIMIT 500""".stripMargin),
 
-    "q35_reduction_ratio" -> OracleSql.withNormalized(
-      Seq(OracleSql.prefixSignatures("head_text", 8),
-        OracleSql.cappedPairs(1, Cap)),
-      """SELECT n_pairs, n_records,
-        |  floor((1.0 - n_pairs / (n_records * (n_records - 1) / 2.0))
-        |    * 1000000.0) / 1000000.0 AS rr
-        |FROM (SELECT (SELECT count(*) FROM pairs) AS n_pairs,
-        |             (SELECT count(*) FROM normalized) AS n_records)""".stripMargin),
+    "q35_reduction_ratio" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.prefixSignatures("head_text", 8),
+          OracleSql.cappedPairs(1, Cap)),
+        """SELECT n_pairs, n_records,
+          |  floor((1.0 - n_pairs / (n_records * (n_records - 1) / 2.0))
+          |    * 1000000.0) / 1000000.0 AS rr
+          |FROM (SELECT (SELECT count(*) FROM pairs) AS n_pairs,
+          |             (SELECT count(*) FROM normalized) AS n_records)""".stripMargin),
+      Seq("transcripts", "normalized", "signatures")),
 
-    "q36_unlabeled_pairs" -> OracleSql.withNormalized(
-      Seq(OracleSql.prefixSignatures("head_text", 8),
-        OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
-      """SELECT p.id_l, p.id_r FROM pairs p
-        |WHERE NOT EXISTS (SELECT 1 FROM labels l
-        |  WHERE l.id_l = p.id_l AND l.id_r = p.id_r)""".stripMargin),
+    "q36_unlabeled_pairs" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.prefixSignatures("head_text", 8),
+          OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
+        """SELECT p.id_l, p.id_r FROM pairs p
+          |WHERE NOT EXISTS (SELECT 1 FROM labels l
+          |  WHERE l.id_l = p.id_l AND l.id_r = p.id_r)""".stripMargin),
+      Seq("transcripts", "normalized", "signatures")),
 
     "q37_metric_menu" -> OracleSql.withNormalized(
       Seq(OracleSql.labelsCte,
@@ -547,12 +576,25 @@ object SparkEntry {
         s"  floor((${Distances.metricSql(m, "a", "b")}) * 10000.0) / 10000.0" +
           s" AS ${m}_head_text").mkString(",\n") + "\nFROM hyd"),
 
-    "q38_table_counts" -> OracleSql.withNormalized(
-      Seq(OracleSql.prefixSignatures("head_text", 8),
-        OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
-      """SELECT (SELECT count(*) FROM normalized) AS n_records,
-        |       (SELECT count(*) FROM labels) AS n_labels,
-        |       (SELECT count(*) FROM pairs) AS n_pairs""".stripMargin),
+    "q50_sorted_neighborhood" -> OracleSql.withNormalized(
+      Seq("""ranked AS (
+            |  SELECT conv_id,
+            |    CAST(row_number() OVER (ORDER BY head_text, conv_id) AS INT)
+            |      AS rank
+            |  FROM normalized
+            |)""".stripMargin),
+      """SELECT l.conv_id AS id_l, r.conv_id AS id_r
+        |FROM ranked l JOIN ranked r
+        |  ON r.rank > l.rank AND r.rank <= l.rank + 3""".stripMargin),
+
+    "q38_table_counts" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.prefixSignatures("head_text", 8),
+          OracleSql.cappedPairs(1, Cap), OracleSql.labelsCte),
+        """SELECT (SELECT count(*) FROM normalized) AS n_records,
+          |       (SELECT count(*) FROM labels) AS n_labels,
+          |       (SELECT count(*) FROM pairs) AS n_pairs""".stripMargin),
+      Seq("transcripts", "normalized", "signatures")),
 
     "q39_train_union" -> OracleSql.withNormalized(
       Seq(OracleSql.labelsCte),
@@ -579,11 +621,13 @@ object SparkEntry {
         |    ORDER BY md5('43:' || conv_id), conv_id LIMIT 400)
         |)""".stripMargin),
 
-    "q47_scores_sink" -> OracleSql.withNormalized(
-      Seq(OracleSql.prefixSignatures("head_text", 8),
-        OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
-        OracleSql.ruleScoreCte),
-      "SELECT * FROM scored"),
+    "q47_scores_sink" -> OracleSql.materialize(
+      OracleSql.withNormalized(
+        Seq(OracleSql.prefixSignatures("head_text", 8),
+          OracleSql.cappedPairs(1, Cap), OracleSql.featureSelect,
+          OracleSql.ruleScoreCte),
+        "SELECT * FROM scored"),
+      Seq("transcripts", "normalized", "signatures", "capped", "pairs")),
 
     "q42_upsert" -> OracleSql.withNormalized(Nil,
       "SELECT * FROM normalized"),
@@ -667,22 +711,29 @@ object SparkEntry {
          |  CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 END), 0) AS BIGINT) AS negatives
          |FROM pairs_$tag p LEFT JOIN labels l
          |  ON p.id_l = l.id_l AND p.id_r = l.id_r""".stripMargin
-    OracleSql.withNormalized(
-      blocks ++ Seq(OracleSql.labelsCte),
-      s"""SELECT conj, n_pairs, positives, negatives,
-         |  floor((1.0 - n_pairs / (n * (n - 1) / 2.0)) * 1000000.0)
-         |    / 1000000.0 AS rr
-         |FROM (
-         |  ${stats("c_prefix8", "a")}
-         |  UNION ALL
-         |  ${stats("c_two", "b")}
-         |  UNION ALL
-         |  ${stats("c_ngram6", "c")}
-         |) CROSS JOIN (SELECT count(*) AS n FROM normalized)""".stripMargin)
+    OracleSql.materialize(
+      OracleSql.withNormalized(
+        blocks ++ Seq(OracleSql.labelsCte),
+        s"""SELECT conj, n_pairs, positives, negatives,
+           |  floor((1.0 - n_pairs / (n * (n - 1) / 2.0)) * 1000000.0)
+           |    / 1000000.0 AS rr
+           |FROM (
+           |  ${stats("c_prefix8", "a")}
+           |  UNION ALL
+           |  ${stats("c_two", "b")}
+           |  UNION ALL
+           |  ${stats("c_ngram6", "c")}
+           |) CROSS JOIN (SELECT count(*) AS n FROM normalized)""".stripMargin),
+      Seq("transcripts", "normalized", "sig_a", "cap_a", "pairs_a",
+        "sig_b", "cap_b", "pairs_b", "sig_c", "cap_c", "pairs_c", "labels"))
   }
 
   /** q13/q14 need WITH RECURSIVE, which must prefix the whole WITH
-    * clause — assembled separately. */
+    * clause — assembled separately. Every pipeline CTE is MATERIALIZED:
+    * the recursive walk references `sym` on EVERY iteration, and
+    * un-materialized that re-derived the whole
+    * transcripts→…→scored→edges chain per superstep (20 s/query at
+    * sf0.01; ~2 s materialized). */
   private def recursiveOracles: Map[String, String] = {
     val commonCtes = Seq(
       Transcripts.oracleCte,
@@ -694,7 +745,10 @@ object SparkEntry {
       "edges AS (SELECT id_l, id_r FROM scored WHERE score > 0.8)",
       ConnectedComponents.oracleSql.stripSuffix(
         "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"))
-    val prefix = "WITH RECURSIVE " + commonCtes.mkString(",\n")
+    val matNames = Seq("transcripts", "normalized", "signatures", "capped",
+      "pairs", "hydrated", "features", "scored", "edges", "sym")
+    val prefix = OracleSql.materialize(
+      "WITH RECURSIVE " + commonCtes.mkString(",\n"), matNames)
     Map(
       "q13_clusters" -> (prefix +
         "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"),
@@ -762,10 +816,14 @@ object SparkEntry {
       ConnectedComponents.oracleSql.stripSuffix(
         "\nSELECT u AS id, min(c) AS component FROM walk GROUP BY u"),
       "components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)")
-    "WITH RECURSIVE " + ctes.mkString(",\n") +
-      """
-        |SELECT component AS cluster, substring(id, 3) AS id,
-        |  CASE WHEN id LIKE 'l:%' THEN 'left' ELSE 'right' END AS _type
-        |FROM components""".stripMargin
+    OracleSql.materialize(
+      "WITH RECURSIVE " + ctes.mkString(",\n") +
+        """
+          |SELECT component AS cluster, substring(id, 3) AS id,
+          |  CASE WHEN id LIKE 'l:%' THEN 'left' ELSE 'right' END AS _type
+          |FROM components""".stripMargin,
+      Seq("transcripts", "normalized", "sig_l", "cap_l", "nsig_l", "ncap_l",
+        "sig_r", "cap_r", "nsig_r", "ncap_r", "pairs", "hydrated",
+        "features", "scored", "edges", "sym"))
   }
 }

@@ -110,24 +110,57 @@ object Blocking {
     * the cap variant ([[candidatePairs]]) when hot signatures are
     * non-informative (stopword n-grams).
     *
-    * Left row salt = pmod(xxhash64(id), salts); right rows carry every
-    * salt value (explode) — a standard skew-join replication: pairs
-    * (l, r) meet exactly once, in l's shard.
+    * Only HOT blocks (size > `hotMinBlockSize`) are salted: block
+    * sizes are counted first (one agg on the key the join shuffles on
+    * anyway), then hot left rows get salt = pmod(xxhash64(id), salts)
+    * and hot right rows are replicated `salts`× — pairs (l, r) meet
+    * exactly once, in l's shard. COLD blocks (the 99%+) keep salt 0 on
+    * both sides: a plain 1×-volume join. Replicating the whole right
+    * side would cost `salts`× shuffle volume on every record for skew
+    * that only lives in a handful of keys.
     */
   def candidatePairsSalted(records: DataFrame, conjunction: Seq[BoundScheme],
                            idCol: String = "conv_id",
-                           salts: Int = 8): DataFrame = {
-    val inv = invertedIndex(records, conjunction, idCol)
-    val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
-    val l = inv.select((col(idCol).as("id_l") +: sigs.map(col)): _*)
-      .withColumn("_salt", pmod(xxhash64(col("id_l")), lit(salts)))
-    val r = inv.select((col(idCol).as("id_r") +: sigs.map(col)): _*)
-      .withColumn("_salt", explode(
-        sequence(lit(0L), lit(salts.toLong - 1L))))
+                           salts: Int = 8,
+                           hotMinBlockSize: Int = 64): DataFrame = {
+    val (l, r, sigs) =
+      saltedSides(records, conjunction, idCol, salts, hotMinBlockSize)
     l.join(r, sigs :+ "_salt")
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"))
       .dropDuplicates("id_l", "id_r")
+  }
+
+  /** The two sides of the salted self-join — package-visible so
+    * BlockingSpec can assert the replication VOLUME (right side =
+    * cold rows × 1 + hot rows × salts), not just the pair set. */
+  private[block] def saltedSides(records: DataFrame,
+                                 conjunction: Seq[BoundScheme],
+                                 idCol: String, salts: Int,
+                                 hotMinBlockSize: Int)
+      : (DataFrame, DataFrame, Seq[String]) = {
+    val inv = invertedIndex(records, conjunction, idCol)
+    val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
+    val hot = inv.groupBy(sigs.map(col): _*)
+      .agg(count(lit(1)).as("_block_n"))
+      .filter(col("_block_n") > hotMinBlockSize)
+      .drop("_block_n")
+      .withColumn("_hot", lit(true))
+    val tagged = inv.join(hot, sigs, "left")
+      .withColumn("_hot", coalesce(col("_hot"), lit(false)))
+    val l = tagged.select((col(idCol).as("id_l") +: col("_hot") +:
+        sigs.map(col)): _*)
+      .withColumn("_salt",
+        when(col("_hot"), pmod(xxhash64(col("id_l")), lit(salts.toLong)))
+          .otherwise(lit(0L)))
+      .drop("_hot")
+    val r = tagged.select((col(idCol).as("id_r") +: col("_hot") +:
+        sigs.map(col)): _*)
+      .withColumn("_salt", explode(
+        when(col("_hot"), sequence(lit(0L), lit(salts.toLong - 1L)))
+          .otherwise(array(lit(0L)))))
+      .drop("_hot")
+    (l, r, sigs)
   }
 
   private def selfJoinPairs(inv: DataFrame, idCol: String): DataFrame = {
@@ -138,6 +171,31 @@ object Blocking {
       .filter(col("id_l") < col("id_r"))
       .select(col("id_l"), col("id_r"))
       .dropDuplicates("id_l", "id_r")
+  }
+
+  /** Sorted-neighborhood blocking (the north star's third blocking-key
+    * family next to n-gram conjunctions and MinHash/LSH bands): order
+    * records globally by a sort key, pair each record with its `window`
+    * successors. Ranks come from graft.plans.Ranks (range-partitioned
+    * zipWithIndex — no single-task global window), and the
+    * rank-distance join is an EQUI-join on an exploded meet key
+    * (rank+1 .. rank+window), not a range join: rows × window shuffle
+    * volume, sort-merge-joinable, bounded tasks at any N.
+    * id_l is the lower-RANKED side (sorted-neighborhood order, not id
+    * order). Ties in the key are totalized by idCol.
+    */
+  def sortedNeighborhoodPairs(records: DataFrame, keyCol: Column,
+                              idCol: String = "conv_id",
+                              window: Int = 3): DataFrame = {
+    val ranked = graft.plans.Ranks.withRank(
+      records.select(col(idCol), keyCol.as("_snkey")),
+      Seq(col("_snkey"), col(idCol)), "_rank")
+    val l = ranked.select(col(idCol).as("id_l"), col("_rank"))
+      .withColumn("_meet",
+        explode(sequence(col("_rank") + 1, col("_rank") + window)))
+      .drop("_rank")
+    val r = ranked.select(col(idCol).as("id_r"), col("_rank").as("_meet"))
+    l.join(r, "_meet").select("id_l", "id_r")
   }
 
   /** Union of candidate pairs across a conjunction list, appended

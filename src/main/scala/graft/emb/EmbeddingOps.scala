@@ -102,36 +102,45 @@ object EmbeddingOps {
     * `nCentroids` cells, probe only the `nprobe` cells nearest each
     * query, rank by exact cosine within the probed cells.
     *
-    * Centroids are DETERMINISTIC (the nCentroids lowest vec_ids) so
-    * both engines derive the identical coarse quantizer — a production
-    * deployment plugs spark.ml KMeans centroids into the same plan
-    * shape. `nprobe = nCentroids` degenerates to exact brute force
-    * (asserted in EmbeddingOpsSpec).
+    * Default centroids are DETERMINISTIC (the nCentroids lowest
+    * vec_ids) so both engines derive the identical coarse quantizer
+    * for the oracle compare; a production deployment passes spark.ml
+    * KMeans cluster centers through `centroids` — same plan, real
+    * quantizer, nCentroids ~ sqrt(N). `nprobe = nCentroids`
+    * degenerates to exact brute force (asserted in EmbeddingOpsSpec).
     *
-    * Scale: assignment is a broadcast nested-loop over nCentroids
-    * literal-sized centroids + one shuffle on vec_id for the argmin
-    * window; the per-query search touches |probed cells| ≈
-    * nprobe/nCentroids of the corpus instead of all of it. (At 10^9+
-    * vectors swap the argmin window for groupBy+min_by — same result,
-    * map-side partial — and raise nCentroids ~ sqrt(N).)
+    * Scale: cell assignment is a broadcast nested-loop over the
+    * centroid table followed by groupBy(vec_id) + min(struct(dist,
+    * cent_id)) — an ordinary aggregate with MAP-SIDE PARTIAL
+    * aggregation, so no per-vector window and no single hot partition
+    * whatever N is. Only the nQueries probe rows (a handful) go
+    * through a top-nprobe window. The per-query search then touches
+    * ≈ nprobe/nCentroids of the corpus instead of all of it.
     */
   def ivfTopK(e: DataFrame, nCentroids: Int = 16, nprobe: Int = 4,
-              nQueries: Int = 8, k: Int = 10): DataFrame = {
+              nQueries: Int = 8, k: Int = 10,
+              centroids: Option[DataFrame] = None): DataFrame = {
     val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
-    val cents = d.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // centroid table: (cent_id:long, cv:array<double>) — caller-supplied
+    // (e.g. KMeans centers, pre-quantized) or the deterministic default
+    val cents = centroids.getOrElse(
+      d.filter(col("vec_id") < nCentroids)
+        .select(col("vec_id").as("cent_id"), col("v").as("cv")))
     // exact integer L2² between quantized vectors — portable argmin
     val l2 = aggregate(zip_with(col("v"), col("cv"),
       (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col("vec_id"))
+    val dists = d.crossJoin(broadcast(cents)).withColumn("dist", l2)
+    // argmin per vector via min(struct): partial-aggregable, no window
+    val cells = dists
+      .groupBy(col("vec_id"), col("v"))
+      .agg(min(struct(col("dist"), col("cent_id"))).as("_m"))
+      .select(col("vec_id"), col("v"), col("_m.cent_id").as("cell"))
+    // top-nprobe cells per QUERY only (nQueries rows — window is fine)
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cent_id"))
-    val assign = d.crossJoin(broadcast(cents))
-      .withColumn("dist", l2)
-      .withColumn("rnk", row_number().over(wAssign))
-    val cells = assign.filter(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val probes = assign
-      .filter(col("vec_id") < nQueries && col("rnk") <= nprobe)
+    val probes = dists.filter(col("vec_id") < nQueries)
+      .withColumn("rnk", row_number().over(wProbe))
+      .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
     val qv = d.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -240,9 +249,21 @@ object EmbeddingOps {
   def lshNearDup(e: DataFrame, bits: Int = LshBits,
                  threshold: Double = 0.2,
                  bucketCap: Int = LshBucketCap,
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = -1): DataFrame = {
     require(bits % 8 == 0, "bits must be a multiple of the 8-bit band size")
-    val signs = planeSigns(bits, dim)
+    // dim < 0 ⇒ derive from the data (one 1-row job). A wrong dim would
+    // otherwise null-pad every zip_with projection and silently turn
+    // every band bit into '0' — wrong results with no error — so any
+    // row whose embedding disagrees with dim hard-fails via raise_error.
+    val d0 =
+      if (dim > 0) dim
+      else e.select(size(col("embedding"))).head().getInt(0)
+    val signs = planeSigns(bits, d0)
+    val guarded = e.withColumn("embedding",
+      when(size(col("embedding")) === d0, col("embedding"))
+        .otherwise(raise_error(concat(
+          lit(s"lshNearDup: embedding dim != $d0 for vec_id "),
+          col("vec_id").cast("string")))))
     val proj = (i: Int) => aggregate(
       zip_with(col("v"), typedLit(signs(i).toSeq), (x, s) => x * s),
       lit(0.0d), (acc, x) => acc + x)
@@ -250,7 +271,7 @@ object EmbeddingOps {
       when(proj(i) >= 0, lit("1")).otherwise(lit("0"))
     val nBands = bits / 8
     val bandKey = (b: Int) => concat((0 until 8).map(k => bitChar(b * 8 + k)): _*)
-    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
+    val d = guarded.select(col("vec_id"), quant(col("embedding")).as("v"))
     val withBands = d.select(
       (col("vec_id") +: col("v") +:
         (0 until nBands).map(b => bandKey(b).as(s"band$b"))): _*)
@@ -277,11 +298,15 @@ object EmbeddingOps {
 
   def lshNearDupSql(bits: Int = LshBits, threshold: Double = 0.2,
                     bucketCap: Int = LshBucketCap, dim: Int = 64): String = {
-    // same ±1 hyperplanes, derived inline from md5 in SQL
+    // same ±1 hyperplanes as planeSigns, emitted as LITERAL lists.
+    // (The previous oracle derived each sign inline via md5() — 16×64
+    // md5 calls PER ROW on the DuckDB side, which blew the driver's
+    // correctness-check time budget. The plane matrix is a constant;
+    // hash it once here, not once per row there.)
+    val signs = planeSigns(bits, dim)
     def signsList(i: Int) =
-      s"[CASE WHEN substring(md5('$i:' || CAST(j AS VARCHAR)), 1, 1) IN " +
-        s"('8','9','a','b','c','d','e','f') THEN 1.0 ELSE -1.0 END " +
-        s"FOR j IN range(0, $dim)]"
+      signs(i).map(s => if (s > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
     def bitChar(i: Int) =
       s"(CASE WHEN list_sum(list_transform(list_zip(v, ${signsList(i)}), " +
         s"p -> p[1] * p[2])) >= 0 THEN '1' ELSE '0' END)"

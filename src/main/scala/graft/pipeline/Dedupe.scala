@@ -36,6 +36,10 @@ object Dedupe {
       threshold: Double = 0.8,  // reference cluster/cluster.py:24
       seed: Long = 42L,
       useMlClassifier: Boolean = true,
+      // which spark.ml algorithm backs the match classifier: logistic
+      // (north-star default) or random_forest (the reference's actual
+      // sklearn model, fapi.py:161-184)
+      classifier: String = MatchClassifier.Logistic,
       // runtime-configurable attributes (reference settings.py:77 +
       // dynamic table generation tables.py:74-103): which attributes
       // the blocking learner may use, and which (attr, metric)
@@ -179,7 +183,7 @@ object Dedupe {
         // under <workDir>/model and a resumed run LOADS it instead of
         // retraining.
         val model = MatchClassifier.trainOrLoad(
-          workDir.map(_ + "/model"), allFeatureCols) {
+          workDir.map(_ + "/model"), allFeatureCols, cfg.classifier) {
           featurize(labels.select("id_l", "id_r"))
             .join(labels, Seq("id_l", "id_r"))
         }

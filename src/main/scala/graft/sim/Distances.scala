@@ -48,34 +48,63 @@ object Distances {
     def colName: String = as.getOrElse(s"${metric}_$attr")
   }
 
-  /** Distance-metric menu (pg_similarity family, docs distance.md):
-    * all pure codegen'd expressions, each with a DuckDB SQL mirror. */
+  /** Distance-metric menu (the pg_similarity family the reference
+    * documents, docs distance.md — all 17): `metricMenu` holds the 14
+    * metrics with an exact DuckDB SQL mirror (oracle-checked in q37);
+    * `alignmentMenu` holds the 3 O(n·m) alignment DPs (codegen'd
+    * Catalyst expressions, golden-tested; not SQL-expressible in
+    * DuckDB, so their query q49 gets the driver's rows-only check). */
   val metricMenu: Seq[String] =
-    Seq("jw", "lev", "jaccard", "dice", "overlap", "cosine", "hamming")
+    Seq("jw", "jaro", "lev", "jaccard", "dice", "overlap", "cosine",
+      "hamming", "monge_elkan", "matching", "l1", "euclidean", "qgram",
+      "soundex")
+
+  val alignmentMenu: Seq[String] = Seq("nw", "sw", "swg")
+
+  /** full 17-metric menu (reference docs/source/userguide/distance.md). */
+  val fullMenu: Seq[String] = metricMenu ++ alignmentMenu
 
   def metricCol(metric: String, l: org.apache.spark.sql.Column,
                 r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     metric match {
       case "jw" => Similarity.jw(l, r)
+      case "jaro" => Similarity.jaroSim(l, r)
       case "lev" => Similarity.levSim(l, r)
       case "jaccard" => Similarity.tokenJaccard(l, r)
       case "dice" => Similarity.tokenDice(l, r)
       case "overlap" => Similarity.tokenOverlap(l, r)
       case "cosine" => Similarity.tokenCosine(l, r)
       case "hamming" => Similarity.hammingSim(l, r)
+      case "monge_elkan" => Similarity.mongeElkan(l, r)
+      case "matching" => Similarity.tokenMatching(l, r)
+      case "l1" => Similarity.l1Sim(l, r)
+      case "euclidean" => Similarity.euclideanSim(l, r)
+      case "qgram" => Similarity.qgramSim(l, r)
+      case "soundex" => Similarity.soundexSim(l, r)
+      case "nw" => Alignment.nw(l, r)
+      case "sw" => Alignment.sw(l, r)
+      case "swg" => Alignment.swg(l, r)
       case m => throw new IllegalArgumentException(s"unknown metric $m")
     }
 
   def metricSql(metric: String, a: String, b: String): String =
     metric match {
       case "jw" => Similarity.jwSql(a, b)
+      case "jaro" => Similarity.jaroSimSql(a, b)
       case "lev" => Similarity.levSimSql(a, b)
       case "jaccard" => Similarity.tokenJaccardSql(a, b)
       case "dice" => Similarity.tokenDiceSql(a, b)
       case "overlap" => Similarity.tokenOverlapSql(a, b)
       case "cosine" => Similarity.tokenCosineSql(a, b)
       case "hamming" => Similarity.hammingSimSql(a, b)
-      case m => throw new IllegalArgumentException(s"unknown metric $m")
+      case "monge_elkan" => Similarity.mongeElkanSql(a, b)
+      case "matching" => Similarity.tokenMatchingSql(a, b)
+      case "l1" => Similarity.l1SimSql(a, b)
+      case "euclidean" => Similarity.euclideanSimSql(a, b)
+      case "qgram" => Similarity.qgramSimSql(a, b)
+      case "soundex" => Similarity.soundexSimSql(a, b)
+      case m => throw new IllegalArgumentException(
+        s"metric $m has no DuckDB mirror")
     }
 
   /** The default plan — the north star's similarity vector, with the

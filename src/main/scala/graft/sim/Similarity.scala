@@ -97,6 +97,13 @@ object JaroWinkler {
     else jaroWinkler(a.toString, b.toString)
   }
 
+  /** Plain Jaro over UTF8String (same kernel, no Winkler boost). */
+  def jaroUTF8(a: UTF8String, b: UTF8String): Double = {
+    val ab = a.getBytes; val bb = b.getBytes
+    if (isAscii(ab) && isAscii(bb)) jaroBytes(ab, ab.length, bb, bb.length)
+    else jaro(a.toString, b.toString)
+  }
+
   private def isAscii(b: Array[Byte]): Boolean = {
     var i = 0
     while (i < b.length) { if (b(i) < 0) return false; i += 1 }
@@ -168,6 +175,21 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
       s"graft.sim.JaroWinkler.jaroWinklerUTF8($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plain Jaro (no Winkler prefix boost) — same codegen'd kernel. */
+case class JaroExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinkler.jaroUTF8(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.sim.JaroWinkler.jaroUTF8($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroExpr =
     copy(left = newLeft, right = newRight)
 }
 
@@ -285,4 +307,181 @@ object Similarity {
        |  ELSE 1.0 - CAST(length(list_filter(range(1, length($a) + 1),
        |    i -> substring($a, i, 1) != substring($b, i, 1))) AS DOUBLE) /
        |    length($a) END""".stripMargin
+
+  // ---- pg_similarity menu, long tail (docs distance.md lists 17
+  //      metrics; conventions documented per metric, every one
+  //      mirrored in DuckDB SQL below) ----
+
+  /** Plain Jaro similarity (codegen'd kernel, no Winkler boost) —
+    * DuckDB mirror: jaro_similarity. */
+  def jaroSim(a: Column, b: Column): Column =
+    GraftBridge.column(JaroExpr(GraftBridge.expr(a), GraftBridge.expr(b)))
+
+  def jaroSimSql(a: String, b: String): String =
+    s"jaro_similarity($a, $b)"
+
+  private def toks(x: Column): Column =
+    filter(split(x, " "), w => w =!= "")
+
+  private def toksSql(x: String): String =
+    s"list_filter(string_split($x, ' '), w -> w != '')"
+
+  /** Monge-Elkan: mean over a's tokens of the best Jaro-Winkler match
+    * in b's tokens (the classic asymmetric form). Both token-less →
+    * 1.0; exactly one token-less → 0.0. */
+  def mongeElkan(a: Column, b: Column): Column = {
+    val (ta, tb) = (toks(a), toks(b))
+    val best = transform(ta, w => array_max(transform(tb, v => jw(w, v))))
+    when(size(ta) === 0 && size(tb) === 0, lit(1.0))
+      .when(size(ta) === 0 || size(tb) === 0, lit(0.0))
+      .otherwise(
+        aggregate(best, lit(0.0d), (acc, x) => acc + x) /
+          size(ta).cast("double"))
+  }
+
+  def mongeElkanSql(a: String, b: String): String =
+    s"""CASE WHEN length(${toksSql(a)}) = 0 AND length(${toksSql(b)}) = 0 THEN 1.0
+       |  WHEN length(${toksSql(a)}) = 0 OR length(${toksSql(b)}) = 0 THEN 0.0
+       |  ELSE list_sum(list_transform(${toksSql(a)},
+       |    w -> list_max(list_transform(${toksSql(b)},
+       |      v -> jaro_winkler_similarity(w, v))))) /
+       |    length(${toksSql(a)}) END""".stripMargin
+
+  /** Matching coefficient: |A∩B| / max(|A|,|B|) over token sets. */
+  def tokenMatching(a: Column, b: Column): Column =
+    setCoefficient(a, b)((i, na, nb) => i / greatest(na, nb))
+
+  def tokenMatchingSql(a: String, b: String): String =
+    setCoefficientSql(a, b,
+      s"${interSql(a, b)} / greatest(${nSql(a)}, ${nSql(b)})")
+
+  /** L1 / city-block ("block" in pg_similarity) over token-FREQUENCY
+    * vectors: sim = 1 − Σ_t |cnt_a(t) − cnt_b(t)| / (n_a + n_b).
+    * Integer counts → exact across engines. Both token-less → 1.0. */
+  def l1Sim(a: Column, b: Column): Column = {
+    val (ta, tb) = (toks(a), toks(b))
+    val u = array_distinct(concat(ta, tb))
+    val d = aggregate(
+      transform(u, t =>
+        abs(size(filter(ta, w => w === t)) - size(filter(tb, w => w === t)))),
+      lit(0), (acc, x) => acc + x)
+    val n = size(ta) + size(tb)
+    when(n === 0, lit(1.0))
+      .otherwise(lit(1.0) - d.cast("double") / n.cast("double"))
+  }
+
+  def l1SimSql(a: String, b: String): String = {
+    val (ta, tb) = (toksSql(a), toksSql(b))
+    s"""CASE WHEN length($ta) + length($tb) = 0 THEN 1.0
+       |  ELSE 1.0 - CAST(list_sum(list_transform(
+       |    list_distinct(list_concat($ta, $tb)),
+       |    t -> abs(length(list_filter($ta, w -> w = t)) -
+       |             length(list_filter($tb, w -> w = t))))) AS DOUBLE) /
+       |    (length($ta) + length($tb)) END""".stripMargin
+  }
+
+  /** Euclidean over the same token-frequency vectors, squashed to
+    * (0, 1]: sim = 1 / (1 + ‖cnt_a − cnt_b‖₂). Integer squares summed
+    * exactly; one IEEE sqrt both engines share. */
+  def euclideanSim(a: Column, b: Column): Column = {
+    val (ta, tb) = (toks(a), toks(b))
+    val u = array_distinct(concat(ta, tb))
+    val d2 = aggregate(
+      transform(u, t => {
+        val diff = size(filter(ta, w => w === t)) -
+          size(filter(tb, w => w === t))
+        diff * diff
+      }),
+      lit(0), (acc, x) => acc + x)
+    lit(1.0) / (lit(1.0) + sqrt(d2.cast("double")))
+  }
+
+  def euclideanSimSql(a: String, b: String): String = {
+    val (ta, tb) = (toksSql(a), toksSql(b))
+    s"""1.0 / (1.0 + sqrt(CAST(coalesce(list_sum(list_transform(
+       |  list_distinct(list_concat($ta, $tb)),
+       |  t -> (length(list_filter($ta, w -> w = t)) -
+       |        length(list_filter($tb, w -> w = t))) *
+       |       (length(list_filter($ta, w -> w = t)) -
+       |        length(list_filter($tb, w -> w = t))))), 0) AS DOUBLE)))""".stripMargin
+  }
+
+  /** Q-gram distance over char-trigram MULTISETS:
+    * sim = 1 − Σ_g |cnt_a(g) − cnt_b(g)| / (n_a + n_b). Strings shorter
+    * than 3 chars have zero trigrams; both gram-less → 1.0. */
+  def qgramSim(a: Column, b: Column): Column = {
+    def grams(x: Column): Column =
+      when(length(x) >= 3,
+        transform(sequence(lit(1), length(x) - 2), i => x.substr(i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+    val (ga, gb) = (grams(a), grams(b))
+    val u = array_distinct(concat(ga, gb))
+    val d = aggregate(
+      transform(u, t =>
+        abs(size(filter(ga, w => w === t)) - size(filter(gb, w => w === t)))),
+      lit(0), (acc, x) => acc + x)
+    val n = size(ga) + size(gb)
+    when(n === 0, lit(1.0))
+      .otherwise(lit(1.0) - d.cast("double") / n.cast("double"))
+  }
+
+  def qgramSimSql(a: String, b: String): String = {
+    def grams(x: String) =
+      s"[substring($x, i, 3) FOR i IN range(1, greatest(length($x) - 1, 1))]"
+    val (ga, gb) = (grams(a), grams(b))
+    s"""CASE WHEN length($ga) + length($gb) = 0 THEN 1.0
+       |  ELSE 1.0 - CAST(list_sum(list_transform(
+       |    list_distinct(list_concat($ga, $gb)),
+       |    t -> abs(length(list_filter($ga, w -> w = t)) -
+       |             length(list_filter($gb, w -> w = t))))) AS DOUBLE) /
+       |    (length($ga) + length($gb)) END""".stripMargin
+  }
+
+  /** Simplified American Soundex (H/W treated like vowels rather than
+    * skip-through — deviation documented; IDENTICAL formula on both
+    * engines, which is what the oracle checks): first letter + the
+    * first 3 non-zero digit codes after collapsing adjacent repeats,
+    * zero-padded. sim = 1.0 iff the codes match ('' == '' for
+    * letter-less strings → 1.0). Pure builtins — no UDF. The
+    * adjacent-repeat collapse uses a positional filter (keep char i iff
+    * i = 1 or char i ≠ char i−1), NOT a regex backreference: DuckDB's
+    * RE2 engine has no backreferences and fails to match them
+    * SILENTLY, which skewed the oracle until this was caught at
+    * sf0.01. */
+  private val SoundexDigits = "01230120022455012623010202"
+
+  def soundexSim(a: Column, b: Column): Column = {
+    def code(x: Column): Column = {
+      val letters = regexp_replace(upper(x), "[^A-Z]", "")
+      val mapped = translate(letters,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", SoundexDigits)
+      val keep = filter(sequence(lit(1), length(mapped)),
+        i => (i === 1) ||
+          (mapped.substr(i, lit(1)) =!= mapped.substr(i - 1, lit(1))))
+      val collapsed = array_join(
+        transform(keep, i => mapped.substr(i, lit(1))), "")
+      val tail = regexp_replace(
+        collapsed.substr(lit(2), length(collapsed)), "0", "")
+      when(letters === "", lit(""))
+        .otherwise(concat(letters.substr(1, 1),
+          rpad(tail.substr(lit(1), lit(3)), 3, "0")))
+    }
+    when(code(a) === code(b), lit(1.0)).otherwise(lit(0.0))
+  }
+
+  def soundexSimSql(a: String, b: String): String = {
+    def code(x: String): String = {
+      val letters = s"regexp_replace(upper($x), '[^A-Z]', '', 'g')"
+      val mapped = s"translate($letters, " +
+        s"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '$SoundexDigits')"
+      val collapsed = s"array_to_string([($mapped)[i] " +
+        s"FOR i IN range(1, length($mapped) + 1) " +
+        s"IF i = 1 OR ($mapped)[i] != ($mapped)[i - 1]], '')"
+      val tail = s"replace(substring($collapsed, 2), '0', '')"
+      s"(CASE WHEN $letters = '' THEN '' ELSE " +
+        s"substring($letters, 1, 1) || rpad(substring($tail, 1, 3), 3, '0') " +
+        s"END)"
+    }
+    s"CASE WHEN ${code(a)} = ${code(b)} THEN 1.0 ELSE 0.0 END"
+  }
 }

@@ -37,33 +37,45 @@ object StreamingDedupe {
       .dropDuplicatesWithinWatermark("content_hash")
 
   final case class TurnEvent(conv_id: String, turn_idx: Int, text: String)
-  final case class ConvState(n_turns: Int, head_text: String,
-                             last_text: String)
+
+  /** Running per-conversation state. head/last carry their turn_idx so
+    * a LATER microbatch delivering an EARLIER turn (out-of-order
+    * arrival) still wins/loses on index comparison, exactly like the
+    * batch Normalize's min_by/max_by over turn_idx. `seen_idxs` makes
+    * replayed/duplicate turn events idempotent (n_turns = distinct
+    * turns); a conversation's turn count is bounded (it is one
+    * dialogue, not the corpus), so the set is small state. */
+  final case class ConvState(seen_idxs: Set[Int],
+                             head_idx: Int, head_text: String,
+                             last_idx: Int, last_text: String)
   final case class ConvUpdate(conv_id: String, n_turns: Int,
                               head_text: String, last_text: String)
 
   /** Per-conversation running signature via explicit GroupState —
     * emits the updated (n_turns, head_text, last_text) for every
     * conversation touched by the microbatch. head_text = text of the
-    * lowest turn_idx seen so far (same definition as the batch
-    * Normalize), robust to out-of-order arrival within a group.
+    * lowest turn_idx seen so far, last_text = highest — across ALL
+    * microbatches, whatever order turns arrive in.
     */
   def runningConversationStats(turns: Dataset[TurnEvent]): Dataset[ConvUpdate] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)
       .mapGroupsWithState[ConvState, ConvUpdate](GroupStateTimeout.NoTimeout) {
         case (convId, events, state: GroupState[ConvState]) =>
-          val sorted = events.toSeq.sortBy(_.turn_idx)
-          val prev = state.getOption.getOrElse(ConvState(0, null, null))
-          val head =
-            if (prev.head_text != null) prev.head_text
-            else sorted.headOption.map(_.text).orNull
-          val next = ConvState(
-            prev.n_turns + sorted.size,
-            head,
-            sorted.lastOption.map(_.text).getOrElse(prev.last_text))
+          val prev = state.getOption.getOrElse(
+            ConvState(Set.empty, Int.MaxValue, null, Int.MinValue, null))
+          val next = events.foldLeft(prev) { (st, e) =>
+            if (st.seen_idxs.contains(e.turn_idx)) st
+            else ConvState(
+              st.seen_idxs + e.turn_idx,
+              if (e.turn_idx < st.head_idx) e.turn_idx else st.head_idx,
+              if (e.turn_idx < st.head_idx) e.text else st.head_text,
+              if (e.turn_idx > st.last_idx) e.turn_idx else st.last_idx,
+              if (e.turn_idx > st.last_idx) e.text else st.last_text)
+          }
           state.update(next)
-          ConvUpdate(convId, next.n_turns, next.head_text, next.last_text)
+          ConvUpdate(convId, next.seen_idxs.size, next.head_text,
+            next.last_text)
       }
   }
 }

@@ -52,4 +52,31 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(!plan.contains("CartesianProduct"),
       s"blocking self-join degenerated to a cartesian:\n$plan")
   }
+
+  test("exact-dup groups plan carries no Window (de-skewed agg + join)") {
+    import spark.implicits._
+    val c = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val plan = graft.text.TextOps.exactDupGroups(c)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"exactDupGroups regressed to a window over content_hash:\n$plan")
+  }
+
+  test("zip-join and ordered-result plans carry no unpartitioned Window") {
+    // q17/q48 rank via range-partitioned zipWithIndex — the plan must
+    // not contain a WindowExec at all (an unpartitioned row_number
+    // would collapse the corpus onto one task)
+    val q17 = SparkEntry.queries("q17_zip_join")(spark, sfDir)
+    assert(!q17.queryExecution.executedPlan.toString.contains("Window"),
+      "q17 rank fell back to a window")
+    assert(q17.count() > 0)
+    val q48 = SparkEntry.queries("q48_ordered_result")(spark, sfDir)
+    assert(!q48.queryExecution.executedPlan.toString.contains("Window"),
+      "q48 rank fell back to a window")
+    // ranks are 1..n, dense and unique
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax}
+    val r = q48.agg(countDistinct(col("rn")), smax(col("rn")),
+      count(lit(1))).head()
+    assert(r.getLong(0) == r.getLong(2) && r.getInt(1).toLong == r.getLong(2))
+  }
 }

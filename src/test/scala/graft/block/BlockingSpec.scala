@@ -93,6 +93,25 @@ class BlockingSpec extends AnyFunSuite with SparkSuite {
     assert(salted.size == 40 * 39 / 2 + 1)
   }
 
+  test("salting replicates ONLY hot blocks — cold rows stay 1×") {
+    // 40 rows share a hot prefix, 10 rows are unique (cold)
+    val many = (1 to 40).map(i => (f"r$i%02d", "hot prefix value")) ++
+      (1 to 10).map(i => (f"x$i%02d", f"uniq$i%02d value"))
+    val d = many.toDF("conv_id", "name")
+    val conj = Seq(BoundScheme(FirstNChars(4), "name"))
+    val (_, r, _) = Blocking.saltedSides(d, conj, "conv_id",
+      salts = 4, hotMinBlockSize = 10)
+    // right side = hot rows × salts + cold rows × 1, NOT N × salts
+    assert(r.count() == 40 * 4 + 10)
+    // and the pair set is still exactly the uncapped one
+    val uncapped = Blocking.candidatePairs(d, conj, maxBlockSize = 10000)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val salted = Blocking.candidatePairsSalted(d, conj,
+      salts = 4, hotMinBlockSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(salted == uncapped)
+  }
+
   test("record-linkage pairs cross tables without ordering constraint") {
     val left = Seq(("l1", "john smith"), ("l2", "zzz")).toDF("conv_id", "name")
     val right = Seq(("r1", "john smyth")).toDF("conv_id", "name")

@@ -68,6 +68,67 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
                          // the invariant, recall is reported
   }
 
+  test("IVF min-struct cell assignment ≡ per-vector window argmin") {
+    import org.apache.spark.sql.expressions.Window
+    // the production path (groupBy + min(struct)) must assign every
+    // vector to the same cell as the window-rank formulation it replaced
+    val d = emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * lit(1024.0)))
+        .as("v"))
+    val cents = d.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val l2 = aggregate(zip_with(col("v"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+    val dists = d.crossJoin(broadcast(cents)).withColumn("dist", l2)
+    val viaWindow = dists.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cent_id"))))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "cent_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMin = dists.groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cent_id"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaMin == viaWindow)
+  }
+
+  test("IVF accepts caller-supplied centroids (KMeans-shaped table)") {
+    // any (cent_id, cv) table drops into the same plan — here: 8
+    // midpoint centroids derived from the corpus itself
+    val d = emb.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * lit(1024.0)))
+        .as("v"))
+    val cents = d.filter(col("vec_id") >= 20 && col("vec_id") < 28)
+      .select((col("vec_id") - 20).as("cent_id"), col("v").as("cv"))
+    val r = EmbeddingOps.ivfTopK(emb, nprobe = 8, nQueries = 2, k = 3,
+      centroids = Some(cents))
+    val rows = r.collect()
+    assert(rows.length == 6) // 2 queries × k=3
+    // nprobe = all 8 cells ⇒ exact: must equal brute force
+    val exact = EmbeddingOps.bruteForceTopK(emb, nQueries = 2, k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    assert(rows.map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+      == exact)
+  }
+
+  test("LSH derives dim from the data and hard-fails on a dim mismatch") {
+    // derived-dim path ≡ explicit-dim path
+    val a = EmbeddingOps.lshNearDup(emb, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = EmbeddingOps.lshNearDup(emb, threshold = 0.1, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // a ragged corpus must raise, not silently zero every band bit
+    val ragged = emb.select("vec_id", "embedding").limit(4).unionByName(
+      emb.limit(1).select((col("vec_id") + 900000L).as("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding")))
+    val ex = intercept[Exception] {
+      EmbeddingOps.lshNearDup(ragged, threshold = 0.0).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("LSH recall >= 0.9 on planted near-dup vectors") {
     // plant a near-identical copy of every vector (deterministic small
     // perturbation, cosine ≈ 0.999); ground truth = (i, i + 100000)

@@ -30,4 +30,30 @@ class DedupeE2ESpec extends AnyFunSuite with SparkSuite {
     // CC superstep trail exists (convergence checkpointed per superstep)
     assert(result.ccSupersteps.size >= 2)
   }
+
+  test("random_forest classifier reaches the same F1 gate (fixed blocking)") {
+    import graft.block.{Blocking, BoundScheme, FirstNChars, Labels}
+    import graft.ml.MatchClassifier
+    import graft.sim.Distances
+    val records = graft.normalize.Normalize.normalize(
+      graft.synth.Transcripts.transcripts(spark, sfDir)).cache()
+    val labels = Labels.plantedLabels(spark, sfDir)
+    val pairs = Blocking.candidatePairs(records,
+      Seq(BoundScheme(FirstNChars(8), "head_text")))
+    // same feature vector as the pipeline: 5 distances + TF-IDF cosine
+    def featurize(p: org.apache.spark.sql.DataFrame) =
+      Distances.features(p, records)
+        .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records),
+          Seq("id_l", "id_r"))
+    val cols = Seq("jw_head", "jw_role", "jw_full", "lev_full", "jac_full",
+      "tfidf_cos")
+    val model = MatchClassifier.train(
+      featurize(labels.select("id_l", "id_r")).join(labels, Seq("id_l", "id_r")),
+      cols, MatchClassifier.RandomForest)
+    val scored = MatchClassifier.score(model, featurize(pairs), cols)
+    val (f1, tp, fp, fn) = Dedupe.pairwiseF1(spark, sfDir, scored)
+    info(s"RF f1=$f1 tp=$tp fp=$fp fn=$fn")
+    assert(f1 >= 0.99, s"RF pairwise F1 $f1 below gate (tp=$tp fp=$fp fn=$fn)")
+    records.unpersist()
+  }
 }

@@ -59,4 +59,33 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
       assert(last("c2") == ((1, "solo", "solo")))
     } finally q.stop()
   }
+
+  test("out-of-order arrival across microbatches still pins head/last " +
+    "by turn_idx, and replayed turns don't double-count") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.TurnEvent]
+    val q = StreamingDedupe.runningConversationStats(source.toDS())
+      .writeStream.format("memory").queryName("conv_stats_ooo")
+      .outputMode("update").start()
+    try {
+      // batch 1: only turn 5 has arrived
+      source.addData(StreamingDedupe.TurnEvent("c9", 5, "late-head? no"))
+      q.processAllAvailable()
+      // batch 2: turn 0 arrives LATE + turn 5 is replayed (at-least-once
+      // delivery) + turn 2 in the middle
+      source.addData(
+        StreamingDedupe.TurnEvent("c9", 0, "true head"),
+        StreamingDedupe.TurnEvent("c9", 5, "late-head? no"),
+        StreamingDedupe.TurnEvent("c9", 2, "middle"))
+      q.processAllAvailable()
+      val rows = spark.table("conv_stats_ooo")
+        .filter(col("conv_id") === "c9")
+        .collect().map(r => (r.getInt(1), r.getString(2), r.getString(3)))
+      // batch-1 emission saw only turn 5
+      assert(rows.contains((1, "late-head? no", "late-head? no")))
+      // batch-2 emission: head regressed to turn 0, last stays turn 5,
+      // replayed turn 5 NOT double-counted (3 distinct turns, not 4)
+      assert(rows.contains((3, "true head", "late-head? no")))
+    } finally q.stop()
+  }
 }
