@@ -386,6 +386,14 @@ object SparkEntry {
         Seq(col("component"), col("conv_id")), "rn")
     }),
 
+    // O6: latest-annotation selection (reference lsapi.py:141-153) —
+    // a deterministic re-label stream (rev 1 = mislabel, rev 2 = fix)
+    // reduced to the latest revision per pair via groupBy + max_by
+    // (map-side partial agg, no per-pair window)
+    "q51_latest_annotation" -> ((s, dir) =>
+      Labels.latestAnnotations(
+        Labels.annotationEvents(Labels.plantedLabels(s, dir)))),
+
     // A1+A2+O2/O3 math: per-conjunction learner stats (n_pairs /
     // positives / negatives / rr) for a fixed conjunction menu — the
     // quantities the DP search orders by, oracle-checked
@@ -660,7 +668,10 @@ object SparkEntry {
     "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
     "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
-    "q45_conj_scores" -> conjScoresOracle
+    "q45_conj_scores" -> conjScoresOracle,
+    "q51_latest_annotation" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte),
+      graft.block.Labels.latestAnnotationsSql)
   ) ++ recursiveOracles
 
   private def docOracle(select: String): String =

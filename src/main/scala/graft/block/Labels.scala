@@ -117,6 +117,48 @@ object Labels {
     (records.unionByName(replicas), posPairs.unionByName(negPairs))
   }
 
+  /** O6: annotation events with re-labels — the labeling-service shape
+    * (reference labelstudio/lsapi.py:141-153 picks the LATEST annotation
+    * per task by update time). Synthesized deterministically from the
+    * planted labels: revision 1 is an initial MISLABEL (flipped),
+    * revision 2 the correction — so selecting anything but the latest
+    * revision visibly corrupts the label set. */
+  def annotationEvents(labels: DataFrame): DataFrame =
+    labels.select(col("id_l"), col("id_r"),
+        (lit(1) - col("label")).as("label"),
+        lit(1L).as("created_at"), lit("ann_initial").as("annotator"))
+      .unionByName(labels.select(col("id_l"), col("id_r"), col("label"),
+        lit(2L).as("created_at"), lit("ann_fix").as("annotator")))
+
+  /** Latest annotation per pair via groupBy + max_by — an ordinary
+    * aggregate with map-side partial aggregation, NOT a
+    * row_number-over-(pair, created_at desc) window: at a re-label
+    * queue's scale the hot pair is one group row per map task, never
+    * one giant window partition. created_at is unique per pair by
+    * construction (revision counter), so max_by is deterministic. */
+  def latestAnnotations(events: DataFrame): DataFrame =
+    events.groupBy("id_l", "id_r")
+      .agg(max_by(col("label"), col("created_at")).as("label"),
+        max(col("created_at")).as("created_at"),
+        max_by(col("annotator"), col("created_at")).as("annotator"))
+
+  /** DuckDB mirror of annotationEvents → latestAnnotations over the
+    * `labels` CTE. */
+  val latestAnnotationsSql: String =
+    """SELECT id_l, id_r,
+      |  max_by(label, created_at) AS label,
+      |  max(created_at) AS created_at,
+      |  max_by(annotator, created_at) AS annotator
+      |FROM (
+      |  SELECT id_l, id_r, 1 - label AS label,
+      |         CAST(1 AS BIGINT) AS created_at, 'ann_initial' AS annotator
+      |  FROM labels
+      |  UNION ALL
+      |  SELECT id_l, id_r, label, CAST(2 AS BIGINT), 'ann_fix'
+      |  FROM labels
+      |)
+      |GROUP BY id_l, id_r""".stripMargin
+
   /** The transcripts+labels oracle preamble shared by downstream ops. */
   def oracleWith(extra: String*): String =
     (Seq("WITH " + Transcripts.oracleCte) ++ extra).mkString(",\n")

@@ -40,6 +40,17 @@ object ConnectedComponents {
     * @return (id, component) where component = min member id, plus the
     *         supersteps metric trail.
     */
+  /** Target edges per shuffle partition during the iteration. Each
+    * superstep is ~6 exchanges; sizing partitions to the LIVE edge
+    * count (known free from the convergence fingerprint) keeps a
+    * 10^10-edge graph at thousands of partitions while a thresholded
+    * 10^4-edge graph collapses to a handful — without this, a small
+    * graph pays cpus×4 near-empty tasks per exchange per round, and
+    * scheduling overhead DOMINATES (measured: q13 at sf0.1 took 46 s
+    * at local[32]/128 partitions vs 19 s at local[8]/32 — more cores
+    * made it slower). */
+  val EdgesPerPartition = 200000L
+
   def run(edges: DataFrame, maxRounds: Int = 50,
           reliableCheckpoints: Boolean = false): (DataFrame, Seq[Superstep]) = {
     val spark = edges.sparkSession
@@ -55,17 +66,27 @@ object ConnectedComponents {
     val steps = scala.collection.mutable.ArrayBuffer.empty[Superstep]
     var fp = fingerprint(e)
     steps += Superstep(0, fp._1, fp._2)
+    // adapt shuffle width to the live edge count per round (restored
+    // after the loop — the setting is session-scoped)
+    val confKey = "spark.sql.shuffle.partitions"
+    val outerPartitions = spark.conf.get(confKey)
+    def adapt(edgeCount: Long): Unit = spark.conf.set(confKey,
+      math.max(1L, math.min(outerPartitions.toLong,
+        edgeCount / EdgesPerPartition + 1)).toString)
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      round += 1
-      val next = materialize(smallStar(largeStar(e)))
-      val nfp = fingerprint(next)
-      converged = nfp == fp
-      fp = nfp
-      e = next
-      steps += Superstep(round, fp._1, fp._2)
-    }
+    try {
+      while (!converged && round < maxRounds) {
+        round += 1
+        adapt(fp._1)
+        val next = materialize(smallStar(largeStar(e)))
+        val nfp = fingerprint(next)
+        converged = nfp == fp
+        fp = nfp
+        e = next
+        steps += Superstep(round, fp._1, fp._2)
+      }
+    } finally spark.conf.set(confKey, outerPartitions)
     require(converged, s"CC did not converge in $maxRounds rounds")
 
     // converged edge set is a star: (member, root). Roots appear only on

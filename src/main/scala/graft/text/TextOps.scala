@@ -433,18 +433,34 @@ object TextOps {
     * mirrored in the oracle). 200 ⇒ ≤ ~20k pairs per bucket. */
   val BandCap = 200
 
-  /** per-doc MinHash signature over token 3-gram shingles; hash_j =
-    * min(md5(j ++ ':' ++ shingle)) — md5 is the engine-portable hash
-    * family. (doc_id, h0..h7).
-    */
+  /** per-doc MinHash signature over token 3-gram shingles.
+    *
+    * Hash family: each shingle is md5-hashed TWICE (salts "0:"/"1:"),
+    * and each 128-bit digest is carved into four 8-hex-char slices —
+    * 8 independent 32-bit min-hash functions for 2 hashes per shingle
+    * instead of 8 (the md5 compute was the whole cost of the q26
+    * chain: 8 full digests per shingle put ~20 s of pure hashing at
+    * sf0.1 into the signature stage; this is ~4× less). Fixed-width
+    * lowercase hex compares in NUMERIC order, so min over the string
+    * slices ≡ min over the 32-bit values — and mirrors in DuckDB with
+    * plain substring, no hex-decode.
+    *
+    * Shape: explode + groupBy(doc_id) with map-side partial min —
+    * each digest is computed exactly once per (doc, shingle) row
+    * (array-transform formulations recompute shared md5s per hash
+    * function: CollapseProject re-inlines deterministic aliases).
+    * Zero-shingle docs produce no rows, same as the previous filter.
+    * (doc_id, h0..h7). */
   def minhashSignatures(c: DataFrame): DataFrame = {
-    val sh = shingles(3)
-    val cols = (0 until MinHashFns).map { j =>
-      array_min(transform(sh, s => md5(concat(lit(j.toString), lit(":"), s))))
-        .as(s"h$j")
+    val exploded = c.select(col("doc_id"), explode(shingles(3)).as("s"))
+      .select(col("doc_id"),
+        md5(concat(lit("0:"), col("s"))).as("d0"),
+        md5(concat(lit("1:"), col("s"))).as("d1"))
+    val mins = (0 until MinHashFns).map { j =>
+      val d = if (j < 4) col("d0") else col("d1")
+      min(substring(d, (j % 4) * 8 + 1, 8)).as(s"h$j")
     }
-    c.filter(size(shingles(3)) > 0)
-      .select((col("doc_id") +: cols): _*)
+    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** LSH: band doc pairs sharing any (h_{2b}, h_{2b+1}) band — hot band
@@ -458,8 +474,9 @@ object TextOps {
     * blocks are released by the ContextCleaner when the plan is
     * dropped — no cache entry left pinned for the session's lifetime.
     */
-  def minhashPairs(c: DataFrame, threshold: Double = 0.5,
-                   bandCap: Int = BandCap): DataFrame = {
+  /** Banded candidate generation alone (the LSH join stage) — exposed
+    * for stage-level profiling (graft.Profile) and composition. */
+  def minhashCandidates(c: DataFrame, bandCap: Int = BandCap): DataFrame = {
     val sig = minhashSignatures(c).localCheckpoint()
     val bands = (0 until MinHashFns / BandSize).map { b =>
       val banded = sig.select(col("doc_id"),
@@ -475,7 +492,12 @@ object TextOps {
         .filter(col("id_l") < col("id_r"))
         .select("id_l", "id_r")
     }
-    val candidates = bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+    bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+  }
+
+  def minhashPairs(c: DataFrame, threshold: Double = 0.5,
+                   bandCap: Int = BandCap): DataFrame = {
+    val candidates = minhashCandidates(c, bandCap)
     val sh = c.select(col("doc_id"),
       array_distinct(shingles(3)).as("sh"))
     val verified = candidates
@@ -492,8 +514,11 @@ object TextOps {
   def minhashPairsSql(threshold: Double = 0.5,
                       bandCap: Int = BandCap): String = {
     val sh3 = shinglesSql(3)
+    // mirror of minhashSignatures: one unnest row per shingle, two md5
+    // digests per row, min over fixed-width hex slices
     val hashCols = (0 until MinHashFns).map { j =>
-      s"list_min([md5('$j:' || s) FOR s IN $sh3]) AS h$j"
+      val d = if (j < 4) "d0" else "d1"
+      s"min(substring($d, ${(j % 4) * 8 + 1}, 8)) AS h$j"
     }.mkString(",\n    ")
     val bandCtes = (0 until MinHashFns / BandSize).map { b =>
       s"""band$b AS (
@@ -513,7 +538,10 @@ object TextOps {
     s"""sig AS (
        |  SELECT doc_id,
        |    $hashCols
-       |  FROM corpus WHERE length($sh3) > 0
+       |  FROM (
+       |    SELECT doc_id, md5('0:' || s) AS d0, md5('1:' || s) AS d1
+       |    FROM (SELECT doc_id, unnest($sh3) AS s FROM corpus))
+       |  GROUP BY doc_id
        |),
        |$bandCtes,
        |cand AS (
