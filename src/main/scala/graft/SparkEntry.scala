@@ -314,6 +314,11 @@ object SparkEntry {
       graft.text.TextOps.simhashHammingPairs(
         graft.text.TextOps.corpus(s, dir))),
 
+    // token-window chunking (sliding windows, overlap) — map-side
+    // explode, the long-doc → model-sized-pieces training-data op
+    "q53_doc_chunks" -> ((s, dir) =>
+      graft.text.TextOps.chunk(graft.text.TextOps.corpus(s, dir))),
+
     // embedding vector stats
     "q30_emb_stats" -> ((s, dir) =>
       graft.emb.EmbeddingOps.vectorStats(
@@ -393,6 +398,21 @@ object SparkEntry {
     "q51_latest_annotation" -> ((s, dir) =>
       Labels.latestAnnotations(
         Labels.annotationEvents(Labels.plantedLabels(s, dir)))),
+
+    // A6: task counts — the labeling-service bookkeeping the reference
+    // reads off LabelStudio (annotation/task tallies): total events,
+    // distinct tasks, and the latest-label distribution, all from the
+    // same annotation stream as q51
+    "q52_task_counts" -> ((s, dir) => {
+      val events = Labels.annotationEvents(Labels.plantedLabels(s, dir))
+      val latest = Labels.latestAnnotations(events)
+      events.agg(count(lit(1)).as("n_events"))
+        .crossJoin(latest.agg(count(lit(1)).as("n_tasks"),
+          coalesce(sum(when(col("label") === 1, 1L)), lit(0L))
+            .as("n_pos_latest"),
+          coalesce(sum(when(col("label") === 0, 1L)), lit(0L))
+            .as("n_neg_latest")))
+    }),
 
     // A1+A2+O2/O3 math: per-conjunction learner stats (n_pairs /
     // positives / negatives / rr) for a fixed conjunction menu — the
@@ -662,6 +682,7 @@ object SparkEntry {
     "q28_doc_simhash_hamming" -> ("WITH " + graft.text.TextOps.corpusCte +
       ",\n" + graft.text.TextOps.simhashHammingPairsSql()),
     "q29_doc_repetition" -> docOracle(graft.text.TextOps.repetitionSql),
+    "q53_doc_chunks" -> docOracle(graft.text.TextOps.chunkSql()),
     "q30_emb_stats" -> graft.emb.EmbeddingOps.vectorStatsSql,
     "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
@@ -671,7 +692,17 @@ object SparkEntry {
     "q45_conj_scores" -> conjScoresOracle,
     "q51_latest_annotation" -> OracleSql.withNormalized(
       Seq(OracleSql.labelsCte),
-      graft.block.Labels.latestAnnotationsSql)
+      graft.block.Labels.latestAnnotationsSql),
+    "q52_task_counts" -> OracleSql.withNormalized(
+      Seq(OracleSql.labelsCte,
+        "latest AS (\n" + graft.block.Labels.latestAnnotationsSql + "\n)"),
+      """SELECT (SELECT 2 * count(*) FROM labels) AS n_events,
+        |  count(*) AS n_tasks,
+        |  CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 END), 0) AS BIGINT)
+        |    AS n_pos_latest,
+        |  CAST(coalesce(sum(CASE WHEN label = 0 THEN 1 END), 0) AS BIGINT)
+        |    AS n_neg_latest
+        |FROM latest""".stripMargin)
   ) ++ recursiveOracles
 
   private def docOracle(select: String): String =

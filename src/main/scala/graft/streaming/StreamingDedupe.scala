@@ -57,6 +57,43 @@ object StreamingDedupe {
     * lowest turn_idx seen so far, last_text = highest — across ALL
     * microbatches, whatever order turns arrive in.
     */
+  final case class BandedDoc(doc_id: Long, band: String)
+  final case class CandidatePair(id_l: Long, id_r: Long, band: String)
+
+  /** Streaming near-dup candidate generation — the LSH band join
+    * expressed incrementally: documents arrive with a precomputed band
+    * key (any of the batch signatures: MinHash band, SimHash mask,
+    * sign-bit bucket), and each new arrival emits a candidate pair
+    * against every PRIOR member of its bucket. Bucket state is capped
+    * at `bucketCap` ids (the same deterministic hot-bucket defense as
+    * every batch band join here — a boilerplate bucket stops emitting
+    * and stops growing instead of going quadratic), so state is
+    * O(buckets × cap) regardless of stream length.
+    */
+  def streamingBandCandidates(docs: Dataset[BandedDoc],
+                              bucketCap: Int = 200): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.band)
+      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (band, events, state: GroupState[Seq[Long]]) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          events.foreach { e =>
+            if (!members.contains(e.doc_id) && members.size < bucketCap) {
+              members.foreach { m =>
+                out += CandidatePair(math.min(m, e.doc_id),
+                  math.max(m, e.doc_id), band)
+              }
+              members = members :+ e.doc_id
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
+
   def runningConversationStats(turns: Dataset[TurnEvent]): Dataset[ConvUpdate] = {
     import turns.sparkSession.implicits._
     turns.groupByKey(_.conv_id)

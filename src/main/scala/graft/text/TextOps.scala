@@ -601,4 +601,52 @@ object TextOps {
   }
 
   private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+
+  // ---------- token-window chunking ----------
+
+  /** Sliding token-window chunking — the training-data op that turns
+    * long documents into overlapping model-sized pieces:
+    * window `maxTokens`, stride `maxTokens − overlap`; the final chunk
+    * may be short; a doc with ≤ maxTokens tokens yields exactly one
+    * chunk; empty docs yield none. Map-side explode — output rows ≈
+    * input tokens / stride, no shuffle at all.
+    * (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunk(c: DataFrame, maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < maxTokens, "overlap must be < maxTokens")
+    val step = maxTokens - overlap
+    // nChunks = 1 + ceil(max(n − maxTokens, 0) / step); exact via
+    // floor((extra + step − 1)/step) — same arithmetic in the oracle
+    val withT = c.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), nChunksOf(col("t"), maxTokens, step) - 1)))
+    withT.select(col("doc_id"), col("chunk_idx"),
+      slice(col("t"), col("chunk_idx") * step + 1, lit(maxTokens))
+        .as("ct"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ct")).as("n_chunk_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+
+  private def nChunksOf(t: Column, maxTokens: Int, step: Int): Column = {
+    val extra = greatest(size(t) - maxTokens, lit(0)).cast("double")
+    (lit(1) + floor((extra + (step - 1)) / step).cast("int"))
+  }
+
+  def chunkSql(maxTokens: Int = 64, overlap: Int = 16): String = {
+    val step = maxTokens - overlap
+    s"""SELECT doc_id, chunk_idx,
+       |  CAST(length(t[chunk_idx * $step + 1 : chunk_idx * $step + $maxTokens]) AS INT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(t[chunk_idx * $step + 1 : chunk_idx * $step + $maxTokens], ' ')
+       |    AS chunk_text
+       |FROM (
+       |  SELECT doc_id, t,
+       |    CAST(unnest(range(0, 1 + CAST(floor(
+       |      (greatest(length(t) - $maxTokens, 0) + ${step - 1}) / $step)
+       |      AS INT))) AS INT) AS chunk_idx
+       |  FROM (SELECT doc_id, $tokensSql AS t FROM corpus)
+       |  WHERE length(t) > 0)""".stripMargin
+  }
 }

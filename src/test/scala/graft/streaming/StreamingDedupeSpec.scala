@@ -60,6 +60,32 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming band candidates pair new arrivals against prior " +
+    "bucket members, bounded by the bucket cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.BandedDoc]
+    val q = StreamingDedupe.streamingBandCandidates(source.toDS(),
+        bucketCap = 3)
+      .writeStream.format("memory").queryName("band_cands")
+      .outputMode("append").start()
+    try {
+      source.addData(
+        StreamingDedupe.BandedDoc(1L, "b1"),
+        StreamingDedupe.BandedDoc(2L, "b1"),
+        StreamingDedupe.BandedDoc(9L, "b2"))
+      q.processAllAvailable()
+      // batch 2: cross-batch candidate + duplicate replay + cap overflow
+      source.addData(
+        StreamingDedupe.BandedDoc(3L, "b1"),  // pairs with 1 and 2
+        StreamingDedupe.BandedDoc(2L, "b1"),  // replay: no new pairs
+        StreamingDedupe.BandedDoc(4L, "b1"))  // bucket full (cap 3): dropped
+      q.processAllAvailable()
+      val pairs = spark.table("band_cands")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
   test("out-of-order arrival across microbatches still pins head/last " +
     "by turn_idx, and replayed turns don't double-count") {
     implicit val sqlCtx = spark.sqlContext

@@ -131,4 +131,24 @@ class TextOpsSpec extends AnyFunSuite with SparkSuite {
     assert(TextOps.minhashPairs(hot, bandCap = 300).count() ==
       250L * 249 / 2)
   }
+
+  test("chunking: windows, stride, short tail, single-chunk and empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 150).map(i => s"t$i").mkString(" ")), // 150 tokens
+      (2L, "a b c"),                                   // 3 tokens → 1 chunk
+      (3L, ""))                                        // empty → 0 chunks
+      .toDF("doc_id", "text")
+    val ch = TextOps.chunk(docs, maxTokens = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 1: stride 48 → chunks at 0,48,96 = sizes 64,64,54 → 3 chunks
+    val d1 = ch.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getInt(2)).toSeq == Seq(64, 64, 54))
+    assert(d1(1).getString(3).startsWith("t49 "))
+    val d2 = ch.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getInt(2) == 3 &&
+      d2(0).getString(3) == "a b c")
+    assert(!ch.exists(_.getLong(0) == 3L))
+  }
 }
