@@ -49,10 +49,12 @@ object OracleSql {
        |  WHERE substring($attr, 1, $n) != ''
        |)""".stripMargin
 
-  /** signatures CTE for an n-gram (set-overlap) conjunction. */
+  /** signatures CTE for an n-gram (set-overlap) conjunction — DISTINCT
+    * per record, mirroring invertedIndex's map-side array_distinct
+    * (block size counts records, not n-gram occurrences). */
   def ngramSignatures(attr: String, n: Int): String =
     s"""signatures AS (
-       |  SELECT conv_id, unnest(${ngramList(attr, n)}) AS sig_0
+       |  SELECT conv_id, unnest(list_distinct(${ngramList(attr, n)})) AS sig_0
        |  FROM normalized
        |)""".stripMargin
 

@@ -463,7 +463,8 @@ object SparkEntry {
 
     "q05_inverted_index" -> OracleSql.withNormalized(Nil,
       s"""SELECT conv_id, sig_0 FROM (
-         |  SELECT conv_id, unnest(${OracleSql.ngramList("head_text", 6)}) AS sig_0
+         |  SELECT conv_id,
+         |    unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
          |  FROM normalized) WHERE sig_0 IS NOT NULL AND sig_0 != ''""".stripMargin),
 
     "q06_candidate_pairs" -> OracleSql.withNormalized(
@@ -743,7 +744,8 @@ object SparkEntry {
       cappedBlock("c",
         s"""sig_c AS (
            |  SELECT conv_id, sig_0 FROM (
-           |    SELECT conv_id, unnest(${OracleSql.ngramList("head_text", 6)}) AS sig_0
+           |    SELECT conv_id,
+           |      unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
            |    FROM normalized)
            |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
            |)""".stripMargin, 1)
@@ -830,7 +832,7 @@ object SparkEntry {
          |),
          |nsig_$side AS (
          |  SELECT conv_id, sig_0 FROM (
-         |    SELECT conv_id, unnest($ng6) AS sig_0
+         |    SELECT conv_id, unnest(list_distinct($ng6)) AS sig_0
          |    FROM normalized WHERE conv_id LIKE '$like')
          |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
          |),

@@ -40,7 +40,13 @@ object Blocking {
 
   /** G1: inverted index for one conjunction — (sig_0..sig_k, id) rows.
     * Array schemes are exploded (chained explodes multiply rows exactly
-    * like the reference's chained unnest, blocking.py:88-99). Null and
+    * like the reference's chained unnest, blocking.py:88-99) — after a
+    * MAP-SIDE array_distinct: a record repeating the same n-gram five
+    * times is still ONE member of that block (the reference's
+    * set-overlap semantics, simple/signatures.py:9-15), and the dedup
+    * happens before the explode output ever reaches the shuffle, so the
+    * self-join input shrinks for free. Block size under the frequency
+    * cap therefore counts DISTINCT records per signature. Null and
     * empty signatures are dropped: they are non-informative and empty
     * strings would otherwise form one giant block.
     */
@@ -49,7 +55,8 @@ object Blocking {
     val fwd = forwardIndex(records, conjunction, idCol)
     val exploded = conjunction.zipWithIndex.foldLeft(fwd) {
       case (df, (b, i)) =>
-        val c = if (b.isArray) explode(col(b.name)) else col(b.name)
+        val c = if (b.isArray) explode(array_distinct(col(b.name)))
+          else col(b.name)
         df.withColumn(s"sig_$i", c)
     }
     val sigCols = conjunction.indices.map(i => col(s"sig_$i"))

@@ -85,7 +85,7 @@ final class Learner(
         else Blocking.invertedIndex(trainCached, boundBase, idCol)
       val melted = missing.map { x =>
         val b = byName(x)
-        val e = if (b.isArray) explode(b.scheme.expr(b.attr))
+        val e = if (b.isArray) explode(array_distinct(b.scheme.expr(b.attr)))
           else b.scheme.expr(b.attr)
         trainCached.select(col(idCol), lit(x).as("_x"), e.as("sig_e"))
       }.reduce(_ unionByName _)
