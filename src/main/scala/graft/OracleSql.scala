@@ -120,4 +120,30 @@ object OracleSql {
       |    floor(((jw_head + jw_role + jw_full + lev_full + jac_full) / 5.0) * 10000.0) / 10000.0 AS score
       |  FROM features
       |)""".stripMargin
+
+  /** name-parameterized hydrate → features → rule-score block: reads
+    * pairs from `<p>pairs`, emits `<p>scored(id_l, id_r, score)` —
+    * for oracles that score more than one pair set (q54 scores the
+    * corpus edges, the linkage pairs, AND the leftover pairs). */
+  def scoredBlock(p: String): String =
+    (featureSelect + ",\n" + ruleScoreCte)
+      .replace("pairs p", s"${p}pairs p")
+      .replace("hydrated", s"${p}hydrated")
+      .replace("features", s"${p}features")
+      .replace("scored AS (", s"${p}scored AS (")
+
+  /** the recursive min-propagation walk over `<p>edges(id_l, id_r)` →
+    * `<p>comp(id, component)` — name-parameterized so one query can
+    * run several independent connected-components passes. */
+  def walkBlock(p: String): String =
+    s"""${p}sym AS MATERIALIZED (
+       |  SELECT id_l AS u, id_r AS v FROM ${p}edges
+       |  UNION SELECT id_r, id_l FROM ${p}edges
+       |),
+       |${p}walk(u, c) AS (
+       |  SELECT u, u FROM ${p}sym
+       |  UNION
+       |  SELECT s.u, w.c FROM ${p}sym s JOIN ${p}walk w ON s.v = w.u
+       |),
+       |${p}comp AS (SELECT u AS id, min(c) AS component FROM ${p}walk GROUP BY u)""".stripMargin
 }

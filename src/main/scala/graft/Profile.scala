@@ -44,6 +44,11 @@ object Profile {
         Seq(BoundScheme(FirstNChars(8), "head_text")), "conv_id",
         Blocking.DefaultMaxBlockSize).localCheckpoint())
     println(s"[profile] pairs = ${pairs.count()}")
+    val npairs = time("blocking ngram6")(
+      Blocking.candidatePairs(records,
+        Seq(BoundScheme(graft.block.FindNgrams(6), "head_text")), "conv_id",
+        Blocking.DefaultMaxBlockSize).localCheckpoint())
+    println(s"[profile] ngram pairs = ${npairs.count()}")
     val edges = time("features+score+filter")(
       Distances.ruleScore(Distances.features(pairs, records))
         .filter(col("score") > 0.8)

@@ -391,6 +391,26 @@ object SparkEntry {
         Seq(col("component"), col("conv_id")), "rn")
     }),
 
+    // Incremental dedupe: the c-corpus is clustered once, then the
+    // d-batch is attached — best-match join to existing clusters,
+    // leftover batch deduped among itself (pipeline/Incremental)
+    "q54_incremental" -> ((s, dir) => {
+      val recs = records(s, dir)
+      val existing = recs.filter(col("conv_id").startsWith("c"))
+      val incoming = recs.filter(col("conv_id").startsWith("d"))
+      val ePairs = Blocking.candidatePairs(existing, prefix8Head,
+        "conv_id", Cap)
+      val eEdges = Distances.ruleScore(Distances.features(ePairs, existing))
+        .filter(col("score") > 0.8).select("id_l", "id_r")
+      val eComp = ConnectedComponents.run(eEdges)._1
+      val eClusters = existing.select(col("conv_id").as("id"))
+        .join(eComp, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+      graft.pipeline.Incremental.attach(existing, eClusters, incoming,
+        prefix8Head)
+    }),
+
     // O6: latest-annotation selection (reference lsapi.py:141-153) —
     // a deterministic re-label stream (rev 1 = mislabel, rev 2 = fix)
     // reduced to the latest revision per pair via groupBy + max_by
@@ -803,6 +823,7 @@ object SparkEntry {
           |       n.n_turns
           |FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id""".stripMargin),
       "q34_linkage_clusters" -> linkageClustersOracle,
+      "q54_incremental" -> incrementalOracle,
       "q48_ordered_result" -> (prefix +
         """,
           |components AS (SELECT u AS id, min(c) AS component FROM walk GROUP BY u)
@@ -812,6 +833,85 @@ object SparkEntry {
           |  SELECT n.conv_id,
           |         coalesce(comp.component, n.conv_id) AS component
           |  FROM normalized n LEFT JOIN components comp ON n.conv_id = comp.id)""".stripMargin))
+  }
+
+  /** q54: the incremental-attach pipeline mirrored in SQL — cluster the
+    * c-corpus (recursive walk #1), link the d-batch against it, attach
+    * each d-record to its best-scoring cluster (two-step grouped argmax
+    * — max score then min component, no window), dedupe the leftover
+    * batch among itself (recursive walk #2), singletons coalesce.
+    */
+  private def incrementalOracle: String = {
+    def sigCap(p: String, src: String): String =
+      s"""${p}sig AS MATERIALIZED (
+         |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0 FROM $src
+         |  WHERE substring(head_text, 1, 8) != ''
+         |),
+         |${p}cap AS MATERIALIZED (
+         |  SELECT * FROM ${p}sig WHERE sig_0 IN (
+         |    SELECT sig_0 FROM ${p}sig GROUP BY sig_0
+         |    HAVING count(*) <= $Cap)
+         |)""".stripMargin
+    val ctes = Seq(
+      Transcripts.oracleCte,
+      "normalized AS (\n" + Normalize.oracleSelect + "\n)",
+      "ex AS MATERIALIZED (SELECT * FROM normalized WHERE conv_id LIKE 'c%')",
+      "inc AS MATERIALIZED (SELECT * FROM normalized WHERE conv_id LIKE 'd%')",
+      // phase 1: cluster the existing corpus
+      sigCap("e", "ex"),
+      s"""epairs AS MATERIALIZED (
+         |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+         |  FROM ecap l JOIN ecap r
+         |  ON l.sig_0 = r.sig_0 AND l.conv_id < r.conv_id
+         |)""".stripMargin,
+      OracleSql.scoredBlock("e"),
+      "eedges AS MATERIALIZED (SELECT id_l, id_r FROM escored WHERE score > 0.8)",
+      OracleSql.walkBlock("e"),
+      """eclusters AS MATERIALIZED (
+        |  SELECT e.conv_id AS id, coalesce(c.component, e.conv_id) AS component
+        |  FROM ex e LEFT JOIN ecomp c ON e.conv_id = c.id
+        |)""".stripMargin,
+      // phase 2: link the batch against the corpus, attach best match
+      sigCap("l", "inc"),
+      """kpairs AS MATERIALIZED (
+        |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+        |  FROM lcap l JOIN ecap r ON l.sig_0 = r.sig_0
+        |)""".stripMargin,
+      OracleSql.scoredBlock("k"),
+      """kmatch AS MATERIALIZED (
+        |  SELECT s.id_l, s.score, ec.component
+        |  FROM kscored s JOIN eclusters ec ON s.id_r = ec.id
+        |  WHERE s.score > 0.8
+        |)""".stripMargin,
+      "kbest AS (SELECT id_l, max(score) AS mx FROM kmatch GROUP BY id_l)",
+      """attach AS MATERIALIZED (
+        |  SELECT m.id_l AS id, min(m.component) AS component
+        |  FROM kmatch m JOIN kbest b ON m.id_l = b.id_l AND m.score = b.mx
+        |  GROUP BY m.id_l
+        |)""".stripMargin,
+      // phase 3: dedupe the leftover batch among itself
+      """lrec AS MATERIALIZED (
+        |  SELECT * FROM inc
+        |  WHERE conv_id NOT IN (SELECT id FROM attach)
+        |)""".stripMargin,
+      sigCap("f", "lrec"),
+      s"""fpairs AS MATERIALIZED (
+         |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
+         |  FROM fcap l JOIN fcap r
+         |  ON l.sig_0 = r.sig_0 AND l.conv_id < r.conv_id
+         |)""".stripMargin,
+      OracleSql.scoredBlock("f"),
+      "fedges AS MATERIALIZED (SELECT id_l, id_r FROM fscored WHERE score > 0.8)",
+      OracleSql.walkBlock("f"),
+      """fresh AS (
+        |  SELECT l.conv_id AS id, coalesce(c.component, l.conv_id) AS component
+        |  FROM lrec l LEFT JOIN fcomp c ON l.conv_id = c.id
+        |)""".stripMargin)
+    "WITH RECURSIVE " + ctes.mkString(",\n") +
+      """
+        |SELECT id, component, true AS attached FROM attach
+        |UNION ALL
+        |SELECT id, component, false AS attached FROM fresh""".stripMargin
   }
 
   /** q34: the RecordLinkage pipeline mirrored in SQL — two blocking

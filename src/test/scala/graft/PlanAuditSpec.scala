@@ -62,6 +62,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       s"exactDupGroups regressed to a window over content_hash:\n$plan")
   }
 
+  test("chunking is map-only (explode, no Exchange) and " +
+    "sorted-neighborhood carries no Window") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 200).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunkPlan = graft.text.TextOps.chunk(docs)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking introduced a shuffle:\n$chunkPlan")
+    val sn = graft.block.Blocking.sortedNeighborhoodPairs(
+      Normalize.normalize(Transcripts.transcripts(spark, sfDir)),
+      org.apache.spark.sql.functions.col("head_text"))
+    assert(!sn.queryExecution.executedPlan.toString.contains("Window"),
+      "sorted-neighborhood rank fell back to a window")
+  }
+
   test("zip-join and ordered-result plans carry no unpartitioned Window") {
     // q17/q48 rank via range-partitioned zipWithIndex — the plan must
     // not contain a WindowExec at all (an unpartitioned row_number
