@@ -339,6 +339,11 @@ object SparkEntry {
       graft.emb.EmbeddingOps.ivfTopK(
         graft.emb.EmbeddingOps.embeddings(s, dir))),
 
+    // product-quantization ANN (codes + asymmetric-distance ranking)
+    "q55_ann_pq" -> ((s, dir) =>
+      graft.emb.EmbeddingOps.pqTopK(
+        graft.emb.EmbeddingOps.embeddings(s, dir))),
+
     // multimodal: binary payload + batched stub decode (mapPartitions)
     "q40_media_features" -> ((s, dir) =>
       graft.media.MediaOps.mediaFeatures(s, dir)),
@@ -708,6 +713,7 @@ object SparkEntry {
     "q31_ann_topk" -> ("WITH " + graft.emb.EmbeddingOps.bruteForceTopKSql()),
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
     "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
+    "q55_ann_pq" -> ("WITH " + graft.emb.EmbeddingOps.pqTopKSql()),
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
     "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
     "q45_conj_scores" -> conjScoresOracle,

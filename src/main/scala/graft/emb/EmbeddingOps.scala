@@ -206,6 +206,121 @@ object EmbeddingOps {
        |WHERE rank <= $k""".stripMargin
   }
 
+  // ---------- product quantization (PQ / ADC) ----------
+
+  /** Product-quantization ANN — the memory-compressed scale path next
+    * to IVF: each quantized vector is split into `m` subvectors, each
+    * encoded as the id of its nearest sub-codebook centroid, so the
+    * corpus collapses to m small codes per vector (m bytes at k ≤ 256 —
+    * 10^9 × 64-dim floats become 8 GB of codes). Queries score
+    * candidates by ADC (asymmetric distance): the EXACT distance from
+    * the query subvector to the candidate's centroid, summed over
+    * subspaces — never touching the original corpus vectors.
+    *
+    * Shape (shared with the DuckDB mirror): one `subdists` relation
+    * d(vector, subspace, centroid) = integer L2² — built by a
+    * broadcast of the centroid table — feeds BOTH the encoder (argmin
+    * per (vector, subspace), computed as grouped min + min-id-on-ties:
+    * two partial-aggregable groupBys, no window) and the ADC lookup
+    * (query rows of the same relation joined against corpus codes).
+    * All distances are integer-valued (quantized vectors) — exact and
+    * engine-portable.
+    *
+    * Codebooks are DETERMINISTIC for the oracle (subvectors of the
+    * `k` lowest vec_ids); production injects per-subspace KMeans
+    * centers through `codebooks` exactly like [[ivfTopK]]'s
+    * `centroids`.
+    */
+  def pqTopK(e: DataFrame, m: Int = 8, k: Int = 16,
+             nQueries: Int = 8, topK: Int = 10,
+             codebooks: Option[DataFrame] = None): DataFrame = {
+    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
+    // (cid, cv) — the k codebook source vectors
+    val cbs = codebooks.getOrElse(
+      d.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val subLen = (size(col("v")) / m).cast("int")
+    val start = (col("m") * subLen + 1).cast("int")
+    // d(vector, subspace, centroid): one row per (vec, m, cid)
+    val subdists = d
+      .crossJoin(broadcast(cbs))
+      .select(col("vec_id"), col("cid"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"),
+        col("v"), col("cv"))
+      .select(col("vec_id"), col("m"), col("cid"),
+        aggregate(zip_with(
+          slice(col("v"), start, subLen),
+          slice(col("cv"), start, subLen),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+          .as("d"))
+      .localCheckpoint() // scanned by encoder AND the ADC join
+    // encoder: argmin centroid per (vector, subspace), lowest cid wins
+    // ties — grouped min then min-id, both partial-aggregable
+    val dmin = subdists.groupBy("vec_id", "m").agg(min(col("d")).as("dm"))
+    val codes = subdists
+      .join(dmin, Seq("vec_id", "m"))
+      .filter(col("d") === col("dm"))
+      .groupBy("vec_id", "m").agg(min(col("cid")).as("code"))
+    // ADC: query subdistance rows looked up by the candidate's code
+    val qsub = subdists.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("cid").as("code"), col("d"))
+    val adc = codes
+      .join(qsub, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).cast("long").as("adc"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "vec_id", "adc", "rank")
+  }
+
+  def pqTopKSql(m: Int = 8, k: Int = 16,
+                nQueries: Int = 8, topK: Int = 10): String =
+    s"""quantized AS MATERIALIZED (
+       |  SELECT vec_id, $quantSql AS v FROM embeddings
+       |),
+       |pqcbs AS MATERIALIZED (
+       |  SELECT vec_id AS cid, v AS cv FROM quantized WHERE vec_id < $k
+       |),
+       |subdists AS MATERIALIZED (
+       |  SELECT q.vec_id, mm.m, c.cid,
+       |    list_sum(list_transform(list_zip(
+       |      q.v[mm.m * (length(q.v) // $m) + 1 :
+       |          (mm.m + 1) * (length(q.v) // $m)],
+       |      c.cv[mm.m * (length(c.cv) // $m) + 1 :
+       |           (mm.m + 1) * (length(c.cv) // $m)]),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM quantized q
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm
+       |  CROSS JOIN pqcbs c
+       |),
+       |pqdmin AS (
+       |  SELECT vec_id, m, min(d) AS dm FROM subdists GROUP BY vec_id, m
+       |),
+       |pqcodes AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, min(s.cid) AS code
+       |  FROM subdists s JOIN pqdmin dm
+       |    ON s.vec_id = dm.vec_id AND s.m = dm.m AND s.d = dm.dm
+       |  GROUP BY s.vec_id, s.m
+       |),
+       |pqadc AS (
+       |  SELECT s.vec_id AS query_id, c.vec_id,
+       |    CAST(sum(s.d) AS BIGINT) AS adc
+       |  FROM pqcodes c JOIN subdists s
+       |    ON s.m = c.m AND s.cid = c.code AND s.vec_id < $nQueries
+       |  WHERE c.vec_id != s.vec_id
+       |  GROUP BY s.vec_id, c.vec_id
+       |)
+       |SELECT query_id, vec_id, adc, rank FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, vec_id) AS INT) AS rank
+       |  FROM pqadc)
+       |WHERE rank <= $topK""".stripMargin
+
   // ---------- random-hyperplane LSH ----------
 
   /** Planes per signature; split into [[LshBands]] bands (banding = OR
