@@ -235,22 +235,26 @@ object EmbeddingOps {
              nQueries: Int = 8, topK: Int = 10,
              codebooks: Option[DataFrame] = None): DataFrame = {
     val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
-    // (cid, cv) — the k codebook source vectors
-    val cbs = codebooks.getOrElse(
-      d.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
     val subLen = (size(col("v")) / m).cast("int")
     val start = (col("m") * subLen + 1).cast("int")
+    // per-subspace codebook table (m, cid, cvsub) — caller-supplied
+    // (e.g. kmeansCodebooks: independent centers per subspace) or the
+    // deterministic default: subvectors of the k lowest vec_ids
+    val cbs = codebooks.getOrElse(
+      d.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"),
+          explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+        .select(col("m"), col("cid"),
+          slice(col("v"), start, subLen).as("cvsub")))
     // d(vector, subspace, centroid): one row per (vec, m, cid)
     val subdists = d
-      .crossJoin(broadcast(cbs))
-      .select(col("vec_id"), col("cid"),
-        explode(sequence(lit(0), lit(m - 1))).as("m"),
-        col("v"), col("cv"))
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), start, subLen).as("vsub"))
+      .join(broadcast(cbs), Seq("m"))
       .select(col("vec_id"), col("m"), col("cid"),
-        aggregate(zip_with(
-          slice(col("v"), start, subLen),
-          slice(col("cv"), start, subLen),
+        aggregate(zip_with(col("vsub"), col("cvsub"),
           (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
           .as("d"))
       .localCheckpoint() // scanned by encoder AND the ADC join
@@ -320,6 +324,81 @@ object EmbeddingOps {
        |      ORDER BY adc, vec_id) AS INT) AS rank
        |  FROM pqadc)
        |WHERE rank <= $topK""".stripMargin
+
+  /** PQ reconstruction error — mean over the corpus of
+    * Σ_subspaces L2²(subvector, assigned centroid): the quantization
+    * loss a codebook achieves (and exactly the objective per-subspace
+    * KMeans minimizes — the codebook-quality diagnostic). */
+  def pqReconstructionError(e: DataFrame, m: Int = 8, k: Int = 16,
+                            codebooks: Option[DataFrame] = None): Double = {
+    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
+    val subLen = (size(col("v")) / m).cast("int")
+    val start = (col("m") * subLen + 1).cast("int")
+    val cbs = codebooks.getOrElse(
+      d.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"),
+          explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+        .select(col("m"), col("cid"),
+          slice(col("v"), start, subLen).as("cvsub")))
+    d.select(col("vec_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
+      .select(col("vec_id"), col("m"),
+        slice(col("v"), start, subLen).as("vsub"))
+      .join(broadcast(cbs), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        aggregate(zip_with(col("vsub"), col("cvsub"),
+          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
+          .as("d"))
+      .groupBy("vec_id", "m").agg(min(col("d")).as("dm"))
+      .groupBy("vec_id").agg(sum(col("dm")).as("err"))
+      .agg(avg(col("err"))).head().getDouble(0)
+  }
+
+  // ---------- learned quantizers (spark.ml KMeans) ----------
+
+  /** IVF centroid table from spark.ml KMeans over the quantized
+    * vectors — the production coarse quantizer the deterministic
+    * lowest-vec_id mode stands in for during oracle checks. Returns
+    * (cent_id, cv) ready for [[ivfTopK]]'s `centroids`; cent_id is the
+    * KMeans cluster index. (At 10^9+ vectors: fit on a seeded sample —
+    * KMeans cost is per-point × k — and raise k ~ sqrt(N).)
+    */
+  def kmeansCentroids(e: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val feats = e.select(col("vec_id"),
+      array_to_vector(quant(col("embedding"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).fit(feats)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+      .toDF("cent_id", "cv")
+  }
+
+  /** Per-subspace PQ codebooks from spark.ml KMeans: one independent
+    * k-center fit per subspace over the subvector slices. Returns
+    * (m, cid, cvsub) for [[pqTopK]]'s `codebooks`.
+    */
+  def kmeansCodebooks(e: DataFrame, m: Int = 8, k: Int = 16,
+                      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = e.sparkSession
+    import spark.implicits._
+    val d = e.select(quant(col("embedding")).as("v"))
+    val subLen = (size(col("v")) / m).cast("int")
+    val rows = (0 until m).flatMap { mm =>
+      val sub = d.select(array_to_vector(
+        slice(col("v"), (lit(mm) * subLen + 1).cast("int"), subLen))
+        .as("features"))
+      val model = new KMeans().setK(k).setSeed(seed + mm).fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (mm, i.toLong, c.toArray.toSeq)
+      }
+    }
+    rows.toDF("m", "cid", "cvsub")
+  }
 
   // ---------- random-hyperplane LSH ----------
 

@@ -156,6 +156,34 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
     assert(recall > 0.0)
   }
 
+  test("KMeans centroids drop into IVF; nprobe = k is still exact") {
+    val cents = EmbeddingOps.kmeansCentroids(emb, k = 8)
+    assert(cents.count() == 8)
+    // exactness holds for ANY centroid set when every cell is probed
+    val r = EmbeddingOps.ivfTopK(emb, nprobe = 8, nQueries = 2, k = 4,
+      centroids = Some(cents))
+    val exact = EmbeddingOps.bruteForceTopK(emb, nQueries = 2, k = 4)
+      .collect().map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap
+    assert(r.collect()
+      .map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap == exact)
+  }
+
+  test("KMeans per-subspace codebooks drop into PQ and beat the " +
+    "lowest-id demo codebooks on quantization error") {
+    val learned = EmbeddingOps.kmeansCodebooks(emb, m = 8, k = 16)
+    assert(learned.count() == 8 * 16)
+    val rLearned = EmbeddingOps.pqTopK(emb, nQueries = 4, topK = 5,
+      codebooks = Some(learned)).collect()
+    assert(rLearned.length == 4 * 5)
+    // codebook quality = reconstruction error (the KMeans objective):
+    // trained per-subspace centers must beat arbitrary corpus rows
+    val errLearned = EmbeddingOps.pqReconstructionError(emb,
+      codebooks = Some(learned))
+    val errDemo = EmbeddingOps.pqReconstructionError(emb)
+    info(s"PQ reconstruction error learned=$errLearned demo=$errDemo")
+    assert(errLearned < errDemo)
+  }
+
   test("LSH recall >= 0.9 on planted near-dup vectors") {
     // plant a near-identical copy of every vector (deterministic small
     // perturbation, cosine ≈ 0.999); ground truth = (i, i + 100000)
