@@ -344,6 +344,25 @@ object SparkEntry {
       graft.emb.EmbeddingOps.pqTopK(
         graft.emb.EmbeddingOps.embeddings(s, dir))),
 
+    // event-stream sessionization: gap-based session assignment (all
+    // windows partitioned by user_id — bounded per-user, never corpus)
+    "q56_sessionize" -> ((s, dir) =>
+      graft.events.Events.sessionize(graft.events.Events.events(s, dir))),
+
+    // per-session rollup (count / distinct types / duration / exact
+    // integer-cents value sum)
+    "q57_session_stats" -> ((s, dir) => {
+      val e = graft.events.Events.events(s, dir)
+      graft.events.Events.sessionStats(
+        graft.events.Events.sessionize(e), e)
+    }),
+
+    // per-source corpus stats + language-ID accuracy vs the documents
+    // table's lang ground truth (model-eval op per ingestion source)
+    "q58_source_stats" -> ((s, dir) =>
+      graft.text.TextOps.sourceStats(
+        graft.text.TextOps.documents(s, dir))),
+
     // multimodal: binary payload + batched stub decode (mapPartitions)
     "q40_media_features" -> ((s, dir) =>
       graft.media.MediaOps.mediaFeatures(s, dir)),
@@ -714,6 +733,9 @@ object SparkEntry {
     "q32_emb_lsh_pairs" -> ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql()),
     "q43_ann_ivf" -> ("WITH " + graft.emb.EmbeddingOps.ivfTopKSql()),
     "q55_ann_pq" -> ("WITH " + graft.emb.EmbeddingOps.pqTopKSql()),
+    "q56_sessionize" -> graft.events.Events.sessionizeSql(),
+    "q57_session_stats" -> graft.events.Events.sessionStatsSql(),
+    "q58_source_stats" -> graft.text.TextOps.sourceStatsSql,
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
     "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
     "q45_conj_scores" -> conjScoresOracle,

@@ -168,7 +168,7 @@ object TextOps {
       best._2.cast("int").as("marker_hits"))
   }
 
-  val langIdSql: String = {
+  def langIdSqlFrom(table: String): String = {
     val cntExprs = langMarkers.map { case (lang, ms) =>
       s"CAST(length(list_filter($tokensSql, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS INT) AS c_$lang"
     }.mkString(",\n    ")
@@ -183,8 +183,10 @@ object TextOps {
       |    greatest(c_en, c_es, c_fr) AS best_c
       |  FROM (
       |    SELECT doc_id,
-      |    """.stripMargin + cntExprs + "\n    FROM corpus))"
+      |    """.stripMargin + cntExprs + s"\n    FROM $table))"
   }
+
+  val langIdSql: String = langIdSqlFrom("corpus")
 
   // ---------- fingerprinting (shingle min-hash digest) ----------
 
@@ -601,6 +603,42 @@ object TextOps {
   }
 
   private def q4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+
+  // ---------- per-source corpus stats + language-ID evaluation ----------
+
+  /** Per-source rollup over the raw documents table (which carries
+    * `lang` ground truth and `source`): doc count, mean length, and
+    * the language-ID heuristic's agreement rate with the truth column
+    * — the model-evaluation op a pipeline runs per ingestion source.
+    * Grouped agg with map-side partials; mean/rate are one exact
+    * integer sum + one division each (engine-portable). */
+  def sourceStats(docs: DataFrame): DataFrame = {
+    val pred = langId(docs.select(col("doc_id"), col("text")))
+    docs.select("doc_id", "source", "lang", "n_chars")
+      .join(pred.select("doc_id", "pred_lang"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum(col("n_chars")).cast("double") / count(lit(1)) * 100.0)
+          / 100.0).as("mean_chars"),
+        sum(when(col("pred_lang") === col("lang"), 1L).otherwise(0L))
+          .as("n_lang_match"),
+        (floor(sum(when(col("pred_lang") === col("lang"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)) * 10000.0)
+          / 10000.0).as("lang_match_rate"))
+  }
+
+  val sourceStatsSql: String =
+    s"""SELECT d.source, count(*) AS n_docs,
+       |  floor(CAST(sum(d.n_chars) AS DOUBLE) / count(*) * 100.0) / 100.0
+       |    AS mean_chars,
+       |  CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lang_match,
+       |  floor(CAST(sum(CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) * 10000.0) / 10000.0 AS lang_match_rate
+       |FROM documents d JOIN (
+       |${langIdSqlFrom("documents").linesIterator.map("  " + _).mkString("\n")}
+       |) p ON d.doc_id = p.doc_id
+       |GROUP BY d.source""".stripMargin
 
   // ---------- token-window chunking ----------
 
