@@ -966,7 +966,8 @@ object SparkEntry {
          |),
          |ncap_$side AS (
          |  SELECT * FROM nsig_$side WHERE sig_0 IN (
-         |    SELECT sig_0 FROM nsig_$side GROUP BY sig_0 HAVING count(*) <= $Cap)
+         |    SELECT sig_0 FROM nsig_$side GROUP BY sig_0
+         |    HAVING count(*) <= ${graft.pipeline.RecordLinkage.NgramLinkCap})
          |)""".stripMargin)
     val ctes = Seq(
       Transcripts.oracleCte,

@@ -20,6 +20,9 @@ import graft.synth.Transcripts
   */
 object RecordLinkage {
 
+  /** block-size cap for the n-gram linkage conjunction (see run()). */
+  val NgramLinkCap = 10
+
   final case class Result(pairs: DataFrame, scored: DataFrame,
                           clusters: DataFrame)
 
@@ -30,12 +33,20 @@ object RecordLinkage {
     val left = records.filter(col("conv_id").startsWith("c"))
     val right = records.filter(col("conv_id").startsWith("d"))
 
-    // J2: cross-table blocked pairs, two conjunctions unioned
+    // J2: cross-table blocked pairs, two conjunctions unioned. The
+    // n-gram side runs under a TIGHTER cap than the prefix side: a
+    // 6-gram shared by many conversations is boilerplate vocabulary —
+    // non-informative for linkage — and at cap 100 such grams
+    // contributed ~90% of the candidate volume (and the dominant cost
+    // of this pipeline's oracle mirror) while recall stayed with the
+    // rare grams + the prefix conjunction (F1 gate unchanged,
+    // RecordLinkageSpec).
     val conj1 = Seq(BoundScheme(FirstNChars(8), "head_text"))
     val conj2 = Seq(BoundScheme(FindNgrams(6), "head_text"))
     val pairs = Blocking.unionPairs(Seq(
         Blocking.linkagePairs(left, right, conj1),
-        Blocking.linkagePairs(left, right, conj2)))
+        Blocking.linkagePairs(left, right, conj2,
+          maxBlockSize = NgramLinkCap)))
       .select(col("id_l"), col("id_r"))
 
     // M1 + rule score (id_l from left table, id_r from right table)
