@@ -57,6 +57,63 @@ object StreamingDedupe {
     * lowest turn_idx seen so far, last_text = highest — across ALL
     * microbatches, whatever order turns arrive in.
     */
+  final case class SessEvent(user_id: Long, event_id: Long,
+                             ts: java.sql.Timestamp)
+  final case class SessState(sess_idx: Int, first_sec: Long,
+                             last_sec: Long, n_events: Int)
+  final case class ClosedSession(user_id: Long, session_id: String,
+                                 n_events: Int, duration_sec: Long)
+
+  /** Streaming gap-based sessionization — the incremental form of the
+    * batch `events.Events.sessionize`: a user's session CLOSES when
+    * event time advances `gapMinutes` past their last event, detected
+    * two ways: a later event arriving in-stream (gap split) or the
+    * EVENT-TIME TIMEOUT firing once the watermark passes last+gap (no
+    * further event ever comes — the case batch jobs get for free and
+    * streams must handle explicitly). Emits only CLOSED sessions
+    * (append mode); state is one small struct per OPEN session,
+    * dropped at close — bounded by concurrently-active users, not the
+    * stream's history.
+    */
+  def streamingSessions(events: Dataset[SessEvent], gapMinutes: Int = 30,
+                        watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapSec = gapMinutes * 60L
+    def close(uid: Long, st: SessState): ClosedSession =
+      ClosedSession(uid, s"$uid#${st.sess_idx}", st.n_events,
+        st.last_sec - st.first_sec)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state: GroupState[SessState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          if (state.hasTimedOut) {
+            out += close(uid, state.get)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              val sec = e.ts.getTime / 1000L
+              if (st == null)
+                st = SessState(1, sec, sec, 1)
+              else if (sec - st.last_sec > gapSec) {
+                out += close(uid, st)
+                st = SessState(st.sess_idx + 1, sec, sec, 1)
+              } else
+                st = st.copy(last_sec = math.max(sec, st.last_sec),
+                  n_events = st.n_events + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp((st.last_sec + gapSec) * 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
   final case class BandedDoc(doc_id: Long, band: String)
   final case class CandidatePair(id_l: Long, id_r: Long, band: String)
 

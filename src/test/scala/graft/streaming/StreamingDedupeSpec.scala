@@ -60,6 +60,38 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gap splits AND " +
+    "event-time timeouts") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.SessEvent]
+    val q = StreamingDedupe.streamingSessions(source.toDS(),
+        gapMinutes = 30, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 10 at t+0 and t+10min — one open session
+      source.addData(
+        StreamingDedupe.SessEvent(10L, 1L, ts(0)),
+        StreamingDedupe.SessEvent(10L, 2L, ts(10)))
+      q.processAllAvailable()
+      assert(spark.table("closed_sessions").count() == 0) // still open
+      // batch 2: t+50min — 40 min gap closes session 1 in-stream
+      source.addData(StreamingDedupe.SessEvent(10L, 3L, ts(50)))
+      q.processAllAvailable()
+      // batch 3: another user far in the future advances the watermark
+      // past session 2's last+gap → the TIMEOUT closes it
+      source.addData(StreamingDedupe.SessEvent(99L, 4L, ts(300)))
+      q.processAllAvailable()
+      source.addData(StreamingDedupe.SessEvent(99L, 5L, ts(301)))
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions")
+        .collect().map(r => r.getString(1) -> ((r.getInt(2), r.getLong(3))))
+        .toMap
+      assert(closed.contains("10#1") && closed("10#1") == ((2, 600L)))
+      assert(closed.contains("10#2") && closed("10#2") == ((1, 0L)))
+    } finally q.stop()
+  }
+
   test("streaming band candidates pair new arrivals against prior " +
     "bucket members, bounded by the bucket cap") {
     implicit val sqlCtx = spark.sqlContext
