@@ -13,7 +13,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_normalize", "q06_candidate_pairs", "q11_scores",
         "q16_tfidf_cosine", "q26_doc_minhash_pairs", "q28_doc_simhash_hamming",
-        "q31_ann_topk", "q32_emb_lsh_pairs", "q43_ann_ivf")
+        "q31_ann_topk", "q32_emb_lsh_pairs", "q43_ann_ivf", "q50_sorted_neighborhood",
+        "q53_doc_chunks", "q54_incremental", "q55_ann_pq", "q56_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

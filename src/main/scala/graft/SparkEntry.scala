@@ -357,6 +357,11 @@ object SparkEntry {
         graft.events.Events.sessionize(e), e)
     }),
 
+    // semi-structured props extraction (JSON path, no UDF) + per-type
+    // rollup — the flattening op event pipelines run first
+    "q59_event_props" -> ((s, dir) =>
+      graft.events.Events.propsStats(graft.events.Events.events(s, dir))),
+
     // per-source corpus stats + language-ID accuracy vs the documents
     // table's lang ground truth (model-eval op per ingestion source)
     "q58_source_stats" -> ((s, dir) =>
@@ -736,6 +741,7 @@ object SparkEntry {
     "q56_sessionize" -> graft.events.Events.sessionizeSql(),
     "q57_session_stats" -> graft.events.Events.sessionStatsSql(),
     "q58_source_stats" -> graft.text.TextOps.sourceStatsSql,
+    "q59_event_props" -> graft.events.Events.propsStatsSql,
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
     "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
     "q45_conj_scores" -> conjScoresOracle,

@@ -63,6 +63,33 @@ object Events {
        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
        |      FROM events)))""".stripMargin
 
+  /** Semi-structured props extraction + rollup: pull `$.k` out of the
+    * JSON props column (get_json_object — codegen'd path expression,
+    * no UDF) and aggregate per event type. The JSON-flattening op
+    * every event pipeline runs before anything relational can happen;
+    * malformed/missing props yield NULL and drop out of the numeric
+    * aggregates in both engines. */
+  def propsStats(e: DataFrame): DataFrame =
+    e.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        coalesce(sum(col("k")), lit(0L)).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+
+  val propsStatsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  count(k) AS n_with_k,
+      |  CAST(coalesce(sum(k), 0) AS BIGINT) AS k_sum,
+      |  min(k) AS k_min, max(k) AS k_max
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |GROUP BY event_type""".stripMargin
+
   /** Per-session rollup: event count, distinct types, duration (sec),
     * value sum in integer cents — each float value is quantized
     * (floor(v·100)) BEFORE summing, so the aggregate is an exact
