@@ -247,7 +247,7 @@ object EmbeddingOps {
         .select(col("m"), col("cid"),
           slice(col("v"), start, subLen).as("cvsub")))
     // d(vector, subspace, centroid): one row per (vec, m, cid)
-    val subdists = d
+    def subdistsOf(vecs: DataFrame): DataFrame = vecs
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
       .select(col("vec_id"), col("m"),
@@ -257,7 +257,13 @@ object EmbeddingOps {
         aggregate(zip_with(col("vsub"), col("cvsub"),
           (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
           .as("d"))
-      .localCheckpoint() // scanned by encoder AND the ADC join
+    // corpus-wide relation: consumed only by the encoder (checkpointed
+    // because the encoder reads it twice); the QUERY rows are built
+    // from the filtered query set separately — at 10^9 vectors you
+    // never materialize N×m×k rows to extract nQueries of them (and in
+    // a real deployment the codes themselves are the persisted table,
+    // computed once at ingest)
+    val subdists = subdistsOf(d).localCheckpoint()
     // encoder: argmin centroid per (vector, subspace), lowest cid wins
     // ties — grouped min then min-id, both partial-aggregable
     val dmin = subdists.groupBy("vec_id", "m").agg(min(col("d")).as("dm"))
@@ -266,7 +272,7 @@ object EmbeddingOps {
       .filter(col("d") === col("dm"))
       .groupBy("vec_id", "m").agg(min(col("cid")).as("code"))
     // ADC: query subdistance rows looked up by the candidate's code
-    val qsub = subdists.filter(col("vec_id") < nQueries)
+    val qsub = subdistsOf(d.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("m"),
         col("cid").as("code"), col("d"))
     val adc = codes

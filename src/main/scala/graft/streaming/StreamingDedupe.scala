@@ -107,7 +107,14 @@ object StreamingDedupe {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutTimestamp((st.last_sec + gapSec) * 1000L)
+              // clamp: a very LATE batch can carry last+gap below the
+              // current watermark, and setTimeoutTimestamp rejects
+              // past timestamps (query crash). Clamping to
+              // watermark+1 closes the already-expired session at the
+              // next trigger — the event-time-correct outcome.
+              state.setTimeoutTimestamp(math.max(
+                (st.last_sec + gapSec) * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             }
           }
           out.iterator
