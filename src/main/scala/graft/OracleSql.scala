@@ -34,8 +34,14 @@ object OracleSql {
     * projection pushdown, so cheap single-reference chains stay inline.
     */
   def materialize(sql: String, names: Seq[String]): String =
-    names.foldLeft(sql)((s, n) =>
-      s.replace(n + " AS (", n + " AS MATERIALIZED ("))
+    names.foldLeft(sql) { (s, n) =>
+      // word-boundary match: a raw substring replace would also hit
+      // CTEs that merely END with the name ("sig_l" inside
+      // "nsig_l AS (") and silently materialize the wrong one
+      s.replaceAll(
+        "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(n) + " AS \\(",
+        java.util.regex.Matcher.quoteReplacement(n + " AS MATERIALIZED ("))
+    }
 
   /** char n-gram list comprehension (range is upper-exclusive):
     * empty list when len < n — mirrors graft.block.FindNgrams. */

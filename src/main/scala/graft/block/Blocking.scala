@@ -194,9 +194,12 @@ object Blocking {
   def sortedNeighborhoodPairs(records: DataFrame, keyCol: Column,
                               idCol: String = "conv_id",
                               window: Int = 3): DataFrame = {
+    // materialize the ranking once: both join sides read it, and the
+    // rank is a global sort + index job — without this it runs twice
     val ranked = graft.plans.Ranks.withRank(
       records.select(col(idCol), keyCol.as("_snkey")),
       Seq(col("_snkey"), col(idCol)), "_rank")
+      .localCheckpoint()
     val l = ranked.select(col(idCol).as("id_l"), col("_rank"))
       .withColumn("_meet",
         explode(sequence(col("_rank") + 1, col("_rank") + window)))

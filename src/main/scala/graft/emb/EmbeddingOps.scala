@@ -231,9 +231,15 @@ object EmbeddingOps {
     * centers through `codebooks` exactly like [[ivfTopK]]'s
     * `centroids`.
     */
-  def pqTopK(e: DataFrame, m: Int = 8, k: Int = 16,
-             nQueries: Int = 8, topK: Int = 10,
-             codebooks: Option[DataFrame] = None): DataFrame = {
+  /** Shared PQ plumbing: the quantized corpus `d`, plus a builder for
+    * the subdistance relation d(vector, subspace, centroid) against
+    * the (default or caller-supplied) per-subspace codebooks — used
+    * identically by [[pqTopK]] and [[pqReconstructionError]], so the
+    * error metric always measures the same quantizer the search uses.
+    */
+  private def pqParts(e: DataFrame, m: Int, k: Int,
+                      codebooks: Option[DataFrame])
+      : (DataFrame, DataFrame => DataFrame) = {
     val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
     val subLen = (size(col("v")) / m).cast("int")
     val start = (col("m") * subLen + 1).cast("int")
@@ -246,7 +252,6 @@ object EmbeddingOps {
           explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
         .select(col("m"), col("cid"),
           slice(col("v"), start, subLen).as("cvsub")))
-    // d(vector, subspace, centroid): one row per (vec, m, cid)
     def subdistsOf(vecs: DataFrame): DataFrame = vecs
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
@@ -257,6 +262,13 @@ object EmbeddingOps {
         aggregate(zip_with(col("vsub"), col("cvsub"),
           (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
           .as("d"))
+    (d, subdistsOf)
+  }
+
+  def pqTopK(e: DataFrame, m: Int = 8, k: Int = 16,
+             nQueries: Int = 8, topK: Int = 10,
+             codebooks: Option[DataFrame] = None): DataFrame = {
+    val (d, subdistsOf) = pqParts(e, m, k, codebooks)
     // corpus-wide relation: consumed only by the encoder (checkpointed
     // because the encoder reads it twice); the QUERY rows are built
     // from the filtered query set separately — at 10^9 vectors you
@@ -337,24 +349,8 @@ object EmbeddingOps {
     * KMeans minimizes — the codebook-quality diagnostic). */
   def pqReconstructionError(e: DataFrame, m: Int = 8, k: Int = 16,
                             codebooks: Option[DataFrame] = None): Double = {
-    val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
-    val subLen = (size(col("v")) / m).cast("int")
-    val start = (col("m") * subLen + 1).cast("int")
-    val cbs = codebooks.getOrElse(
-      d.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"),
-          explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
-        .select(col("m"), col("cid"),
-          slice(col("v"), start, subLen).as("cvsub")))
-    d.select(col("vec_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
-      .select(col("vec_id"), col("m"),
-        slice(col("v"), start, subLen).as("vsub"))
-      .join(broadcast(cbs), Seq("m"))
-      .select(col("vec_id"), col("m"),
-        aggregate(zip_with(col("vsub"), col("cvsub"),
-          (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-          .as("d"))
+    val (d, subdistsOf) = pqParts(e, m, k, codebooks)
+    subdistsOf(d)
       .groupBy("vec_id", "m").agg(min(col("d")).as("dm"))
       .groupBy("vec_id").agg(sum(col("dm")).as("err"))
       .agg(avg(col("err"))).head().getDouble(0)
@@ -455,9 +451,15 @@ object EmbeddingOps {
     // otherwise null-pad every zip_with projection and silently turn
     // every band bit into '0' — wrong results with no error — so any
     // row whose embedding disagrees with dim hard-fails via raise_error.
-    val d0 =
-      if (dim > 0) dim
-      else e.select(size(col("embedding"))).head().getInt(0)
+    // An EMPTY corpus has no dim to derive and no pairs to emit.
+    val derived =
+      if (dim > 0) Some(dim)
+      else e.select(size(col("embedding"))).head(1).headOption
+        .map(_.getInt(0))
+    if (derived.isEmpty)
+      return e.select(col("vec_id").as("id_l"), col("vec_id").as("id_r"),
+        lit(0.0d).as("cosine")).limit(0)
+    val d0 = derived.get
     val signs = planeSigns(bits, d0)
     val guarded = e.withColumn("embedding",
       when(size(col("embedding")) === d0, col("embedding"))

@@ -86,7 +86,7 @@ object Events {
       |  min(k) AS k_min, max(k) AS k_max
       |FROM (
       |  SELECT event_type,
-      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |    TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |  FROM events)
       |GROUP BY event_type""".stripMargin
 

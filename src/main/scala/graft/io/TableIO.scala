@@ -57,13 +57,18 @@ final class TableIO(spark: SparkSession, root: String) {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = Option(new java.io.File(path(name)).listFiles()).toSeq.flatten
-      .filter(f => f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    // list through the Hadoop FileSystem of the root, not java.io.File:
+    // a non-local root (hdfs://, s3a://) must yield real counts, not a
+    // silent empty listing
+    val dir = new Path(path(name))
+    val fs = dir.getFileSystem(conf)
+    val files = fs.listStatus(dir).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-") &&
+        s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
     val perPart = files.map { f =>
       val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf))
+        HadoopInputFile.fromPath(f.getPath, conf))
       try reader.getRecordCount finally reader.close()
     }
     val rows = perPart.sum

@@ -25,7 +25,11 @@ import org.apache.spark.sql.types.{IntegerType, StructField}
   */
 object Ranks {
 
-  /** Append 1-based rank (IntegerType) ordered by `sortCols`. */
+  /** Append 1-based rank (IntegerType — matching the SQL mirrors'
+    * CAST(row_number() AS INT)) ordered by `sortCols`. Inputs beyond
+    * Int.MaxValue rows FAIL LOUDLY instead of silently wrapping the
+    * rank (a task exception, not corrupt output); a caller ranking
+    * > 2^31 rows should widen rankCol to LongType end-to-end. */
   def withRank(df: DataFrame, sortCols: Seq[Column],
                rankCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -34,6 +38,9 @@ object Ranks {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+ StructField(rankCol, IntegerType, nullable = false))
     val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      if (idx >= Int.MaxValue - 1)
+        throw new IllegalStateException(
+          s"Ranks.withRank: rank ${idx + 1} overflows IntegerType")
       Row.fromSeq(row.toSeq :+ (idx + 1).toInt)
     }
     spark.createDataFrame(indexed, schema)

@@ -59,8 +59,8 @@ object StreamingDedupe {
     */
   final case class SessEvent(user_id: Long, event_id: Long,
                              ts: java.sql.Timestamp)
-  final case class SessState(sess_idx: Int, first_sec: Long,
-                             last_sec: Long, n_events: Int)
+  final case class SessState(first_sec: Long, last_sec: Long,
+                             n_events: Int)
   final case class ClosedSession(user_id: Long, session_id: String,
                                  n_events: Int, duration_sec: Long)
 
@@ -74,13 +74,22 @@ object StreamingDedupe {
     * (append mode); state is one small struct per OPEN session,
     * dropped at close — bounded by concurrently-active users, not the
     * stream's history.
+    *
+    * session_id = `uid @ start-second` — globally unique WITHOUT
+    * remembering per-user ordinals (an ordinal would either be lost at
+    * timeout, recycling ids, or require a tombstone per user ever
+    * seen, unbounding the state store). Out-of-order events still
+    * inside the watermark extend the open session BACKWARD
+    * (first_sec is a min, like the batch job's); an event more than
+    * gap earlier than the open session's start is a late orphan and
+    * closes immediately as its own single-event session.
     */
   def streamingSessions(events: Dataset[SessEvent], gapMinutes: Int = 30,
                         watermark: String = "1 hour"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     val gapSec = gapMinutes * 60L
     def close(uid: Long, st: SessState): ClosedSession =
-      ClosedSession(uid, s"$uid#${st.sess_idx}", st.n_events,
+      ClosedSession(uid, s"$uid@${st.first_sec}", st.n_events,
         st.last_sec - st.first_sec)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -97,13 +106,19 @@ object StreamingDedupe {
             batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val sec = e.ts.getTime / 1000L
               if (st == null)
-                st = SessState(1, sec, sec, 1)
+                st = SessState(sec, sec, 1)
               else if (sec - st.last_sec > gapSec) {
                 out += close(uid, st)
-                st = SessState(st.sess_idx + 1, sec, sec, 1)
-              } else
-                st = st.copy(last_sec = math.max(sec, st.last_sec),
-                  n_events = st.n_events + 1)
+                st = SessState(sec, sec, 1)
+              } else if (st.first_sec - sec > gapSec)
+                // late orphan: earlier than the open session by more
+                // than the gap — its own session, already over
+                out += ClosedSession(uid, s"$uid@$sec", 1, 0L)
+              else
+                st = SessState(
+                  math.min(sec, st.first_sec),
+                  math.max(sec, st.last_sec),
+                  st.n_events + 1)
             }
             if (st != null) {
               state.update(st)

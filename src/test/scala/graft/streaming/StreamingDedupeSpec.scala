@@ -87,8 +87,12 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
       val closed = spark.table("closed_sessions")
         .collect().map(r => r.getString(1) -> ((r.getInt(2), r.getLong(3))))
         .toMap
-      assert(closed.contains("10#1") && closed("10#1") == ((2, 600L)))
-      assert(closed.contains("10#2") && closed("10#2") == ((1, 0L)))
+      // session_id = uid@start-second (globally unique across closures)
+      val base = 1700000000L
+      assert(closed.contains(s"10@$base") &&
+        closed(s"10@$base") == ((2, 600L)))
+      val s2 = s"10@${base + 50 * 60}"
+      assert(closed.contains(s2) && closed(s2) == ((1, 0L)))
     } finally q.stop()
   }
 
