@@ -131,12 +131,19 @@ object OracleSql {
     * pairs from `<p>pairs`, emits `<p>scored(id_l, id_r, score)` —
     * for oracles that score more than one pair set (q54 scores the
     * corpus edges, the linkage pairs, AND the leftover pairs). */
-  def scoredBlock(p: String): String =
-    (featureSelect + ",\n" + ruleScoreCte)
-      .replace("pairs p", s"${p}pairs p")
-      .replace("hydrated", s"${p}hydrated")
-      .replace("features", s"${p}features")
-      .replace("scored AS (", s"${p}scored AS (")
+  def scoredBlock(p: String): String = {
+    // boundary-aware token renames (same guard as [[materialize]]): a
+    // blind substring replace would corrupt any future identifier that
+    // merely CONTAINS one of these names ("features" inside
+    // "pair_features", "scored" inside "rescored")
+    def renameIdent(sql: String, name: String): String =
+      sql.replaceAll(
+        "(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+          "(?![A-Za-z0-9_])",
+        java.util.regex.Matcher.quoteReplacement(p + name))
+    Seq("pairs", "hydrated", "features", "scored")
+      .foldLeft(featureSelect + ",\n" + ruleScoreCte)(renameIdent)
+  }
 
   /** the recursive min-propagation walk over `<p>edges(id_l, id_r)` →
     * `<p>comp(id, component)` — name-parameterized so one query can

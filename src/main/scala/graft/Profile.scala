@@ -59,12 +59,25 @@ object Profile {
     // ---- q26 chain ----
     val corpus = time("doc corpus")(
       graft.text.TextOps.corpus(spark, sfDir).localCheckpoint())
+    // signature stages are forced through a row-hash checksum, NOT
+    // count(): count() lets Catalyst prune every signature column and
+    // the "timing" collapses to the explode alone (observed: 0.2 s
+    // "signatures" that cost 2+ s when actually computed)
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(bit_xor(xxhash64(df.columns.map(col): _*)), lit(0L)))
+        .head().getLong(0)
     time("minhash signatures")(
-      graft.text.TextOps.minhashSignatures(corpus).count())
+      checksum(graft.text.TextOps.minhashSignatures(corpus)))
     time("minhash candidates")(
       graft.text.TextOps.minhashCandidates(corpus).count())
     time("minhash pairs e2e")(
       graft.text.TextOps.minhashPairs(corpus).count())
+
+    // ---- q28 chain (SimHash signature stage vs banded join) ----
+    time("simhash64 signatures")(
+      checksum(graft.text.TextOps.simhash64(corpus)))
+    time("simhash hamming e2e")(
+      graft.text.TextOps.simhashHammingPairs(corpus).count())
     spark.stop()
   }
 }

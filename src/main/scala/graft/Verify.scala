@@ -20,6 +20,19 @@ object Verify {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      // lshNearDupSql emits a LITERAL plane matrix for dim=64 while the
+      // Spark side derives dim from the data (and hard-fails on any
+      // mismatching row). Assert the corpus dim equals the SQL mirror's
+      // default HERE, so a non-64-dim corpus fails the dump loudly
+      // instead of the oracle silently zipping against longer plane
+      // lists and "passing" with wrong bits.
+      if (only.forall(_.contains("q32_emb_lsh_pairs"))) {
+        val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .selectExpr("size(embedding)").head().getInt(0)
+        require(dim == 64,
+          s"embeddings dim=$dim but lshNearDupSql emits 64-dim planes — " +
+            "regenerate the oracle with lshNearDupSql(dim = actual)")
+      }
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>

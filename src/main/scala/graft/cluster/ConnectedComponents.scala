@@ -53,6 +53,47 @@ object ConnectedComponents {
 
   def run(edges: DataFrame, maxRounds: Int = 50,
           reliableCheckpoints: Boolean = false): (DataFrame, Seq[Superstep]) = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    if (edges.schema("id_l").dataType != StringType)
+      return runEncoded(edges, maxRounds, reliableCheckpoints)
+    // String node ids: dictionary-encode to dense longs BEFORE the
+    // superstep loop. Every superstep is ~6 exchanges keyed on node id
+    // and the loop runs O(log n) rounds — hashing/comparing long keys
+    // instead of strings cuts shuffle bytes and comparator cost on the
+    // pipeline's only iterative stage. The encoding is ORDER-PRESERVING
+    // (ids assigned by zipWithIndex over range-sorted distinct ids), so
+    // min-over-idx ≡ min-over-id and the decoded component is the same
+    // min member id the string-keyed run produces.
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("id_l").as("id"))
+      .unionByName(edges.select(col("id_r").as("id")))
+      .distinct()
+      .repartitionByRange(col("id"))
+      .sortWithinPartitions(col("id"))
+    val dictSchema = StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("idx", LongType, nullable = false)))
+    val dict0 = spark.createDataFrame(
+      nodes.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.getString(0), i)
+      }, dictSchema)
+    val dict = if (reliableCheckpoints) dict0.checkpoint()
+               else dict0.localCheckpoint()
+    val encoded = edges
+      .join(dict.select(col("id").as("id_l"), col("idx").as("_el")), "id_l")
+      .join(dict.select(col("id").as("id_r"), col("idx").as("_er")), "id_r")
+      .select(col("_el").as("id_l"), col("_er").as("id_r"))
+    val (members, steps) = runEncoded(encoded, maxRounds, reliableCheckpoints)
+    val decoded = members
+      .join(dict.select(col("idx").as("id"), col("id").as("_sid")), "id")
+      .join(dict.select(col("idx").as("component"), col("id").as("_scomp")),
+        "component")
+      .select(col("_sid").as("id"), col("_scomp").as("component"))
+    (decoded, steps)
+  }
+
+  private def runEncoded(edges: DataFrame, maxRounds: Int,
+          reliableCheckpoints: Boolean): (DataFrame, Seq[Superstep]) = {
     val spark = edges.sparkSession
     def materialize(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
@@ -67,7 +108,12 @@ object ConnectedComponents {
     var fp = fingerprint(e)
     steps += Superstep(0, fp._1, fp._2)
     // adapt shuffle width to the live edge count per round (restored
-    // after the loop — the setting is session-scoped)
+    // after the loop, exception-safe via finally). NOTE: the setting is
+    // SESSION-scoped — a concurrent query on the same SparkSession (or
+    // two concurrent CC runs) would observe the shrunken width; this
+    // engine's one-driver pipeline runs CC serially, so the assumption
+    // holds. A multi-tenant session should run CC through
+    // `spark.newSession()` (separate conf, shared catalog/cache).
     val confKey = "spark.sql.shuffle.partitions"
     val outerPartitions = spark.conf.get(confKey)
     def adapt(edgeCount: Long): Unit = spark.conf.set(confKey,

@@ -60,7 +60,20 @@ object EmbeddingOps {
 
   /** brute-force cosine top-k: each query vector (vec_id < nQueries)
     * against the whole corpus. The query side is tiny → broadcast
-    * nested-loop; ranking via window partitioned by query.
+    * nested-loop; ranking is TWO-PHASE so no window partition is ever
+    * corpus-sized:
+    *
+    *   phase 1 — local top-k per (query, scan partition): window keyed
+    *   by (query_id, spark_partition_id()), so each window partition
+    *   holds at most one scan partition's rows (bounded by
+    *   maxPartitionBytes), never all N corpus rows of a query;
+    *   phase 2 — global rank over the ≤ k×P survivors per query.
+    *
+    * Any row in a query's global top-k is in the top-k of its own scan
+    * partition, so the result is identical to a single corpus-wide
+    * rank — without the 10⁹-row single-task sort per query that a
+    * Window.partitionBy(query_id) over the scored cross product
+    * implies at scale.
     */
   def bruteForceTopK(e: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val q = e.filter(col("vec_id") < nQueries)
@@ -68,9 +81,17 @@ object EmbeddingOps {
     val c = e.select(col("vec_id"), quant(col("embedding")).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .select(col("query_id"), col("vec_id"), col("cosine"),
+        spark_partition_id().as("_pid"))
+    val wLocal = Window.partitionBy(col("query_id"), col("_pid"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val survivors = scored
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k)
+      .drop("_pid", "_lr")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
+    survivors.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cosine", "rank")
   }
@@ -117,9 +138,13 @@ object EmbeddingOps {
     * through a top-nprobe window. The per-query search then touches
     * ≈ nprobe/nCentroids of the corpus instead of all of it.
     */
-  def ivfTopK(e: DataFrame, nCentroids: Int = 16, nprobe: Int = 4,
-              nQueries: Int = 8, k: Int = 10,
-              centroids: Option[DataFrame] = None): DataFrame = {
+  /** Shared IVF plumbing: quantized corpus `d`, per-vector cell
+    * assignment, and per-query probe list — used by [[ivfTopK]] and
+    * the [[ivfScanFraction]] diagnostic so both measure the SAME
+    * quantizer/probe behavior. */
+  private def ivfParts(e: DataFrame, nCentroids: Int, nprobe: Int,
+                       nQueries: Int, centroids: Option[DataFrame])
+      : (DataFrame, DataFrame, DataFrame) = {
     val d = e.select(col("vec_id"), quant(col("embedding")).as("v"))
     // centroid table: (cent_id:long, cv:array<double>) — caller-supplied
     // (e.g. KMeans centers, pre-quantized) or the deterministic default
@@ -142,6 +167,32 @@ object EmbeddingOps {
       .withColumn("rnk", row_number().over(wProbe))
       .filter(col("rnk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+    (d, cells, probes)
+  }
+
+  /** Diagnostic: average fraction of the corpus a query's probe set
+    * actually scans — the WORK an IVF recall number trades against.
+    * (A degenerate quantizer can post high recall simply because one
+    * giant cell makes every probe near-brute-force; recall is only
+    * meaningful next to this number.) */
+  def ivfScanFraction(e: DataFrame, nCentroids: Int = 16, nprobe: Int = 4,
+                      nQueries: Int = 8,
+                      centroids: Option[DataFrame] = None): Double = {
+    val (d, cells, probes) = ivfParts(e, nCentroids, nprobe, nQueries,
+      centroids)
+    val n = d.count().toDouble
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("sz"))
+    val scanned = probes.join(sizes, "cell")
+      .groupBy("query_id").agg(sum(col("sz")).as("scanned"))
+      .agg(avg(col("scanned"))).head().getDouble(0)
+    scanned / n
+  }
+
+  def ivfTopK(e: DataFrame, nCentroids: Int = 16, nprobe: Int = 4,
+              nQueries: Int = 8, k: Int = 10,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    val (d, cells, probes) = ivfParts(e, nCentroids, nprobe, nQueries,
+      centroids)
     val qv = d.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val scored = probes.join(cells, "cell")

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.Path
 
 /** Iceberg-shaped table layer over partitioned Parquet.
   *
@@ -23,8 +23,15 @@ import java.nio.file.{Files, Paths}
 final class TableIO(spark: SparkSession, root: String) {
 
   private def path(stage: String) = s"$root/$stage"
+
+  // all existence/delete checks go through the Hadoop FileSystem of the
+  // ROOT (like appendLineage's listing): java.io/java.nio would silently
+  // report "missing" for hdfs:// or s3a:// roots — committed() would
+  // recompute every stage and invalidate() would no-op.
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def committed(stage: String): Boolean =
-    Files.exists(Paths.get(path(stage), "_SUCCESS"))
+    fs.exists(new Path(path(stage), "_SUCCESS"))
 
   /** Run `compute` unless stage output already committed; either way
     * return the stage's DataFrame (read back from Parquet, so lineage
@@ -104,13 +111,12 @@ final class TableIO(spark: SparkSession, root: String) {
     spark.read.parquet(path(stageName))
   }
 
-  /** Drop a stage's committed output (forces recompute on next run). */
+  /** Drop a stage's committed output (forces recompute on next run).
+    * Recursive FileSystem.delete — works on any root the table layer
+    * can write to (file:, hdfs:, s3a:), not just the local disk. */
   def invalidate(stageName: String): Unit = {
-    def rm(p: java.io.File): Unit = {
-      if (p.isDirectory) p.listFiles().foreach(rm)
-      p.delete(); ()
-    }
-    val f = new java.io.File(path(stageName))
-    if (f.exists()) rm(f)
+    val p = new Path(path(stageName))
+    val f = fs
+    if (f.exists(p)) { f.delete(p, true); () }
   }
 }

@@ -59,8 +59,16 @@ object StreamingDedupe {
     */
   final case class SessEvent(user_id: Long, event_id: Long,
                              ts: java.sql.Timestamp)
+  /** `seen` = event_ids folded into THIS open session (bounded: one
+    * user's events within one session window, dropped with the state
+    * at close) — makes at-least-once redelivery idempotent while the
+    * session is open. A replay arriving after its session already
+    * closed starts a fresh session (deduping those would need a
+    * tombstone per event ever seen — unbounded state); sinks needing
+    * exactly-once across that window should dedupe on session_id
+    * downstream. */
   final case class SessState(first_sec: Long, last_sec: Long,
-                             n_events: Int)
+                             n_events: Int, seen: Set[Long])
   final case class ClosedSession(user_id: Long, session_id: String,
                                  n_events: Int, duration_sec: Long)
 
@@ -82,7 +90,11 @@ object StreamingDedupe {
     * inside the watermark extend the open session BACKWARD
     * (first_sec is a min, like the batch job's); an event more than
     * gap earlier than the open session's start is a late orphan and
-    * closes immediately as its own single-event session.
+    * closes immediately as its own single-event session (id suffixed
+    * with the event_id — two orphans in one truncated second must not
+    * collide). Note the orphan path is only live when the watermark
+    * DELAY exceeds the gap: with delay ≤ gap the engine's late-row
+    * filter drops such events before they reach this function.
     */
   def streamingSessions(events: Dataset[SessEvent], gapMinutes: Int = 30,
                         watermark: String = "1 hour"): Dataset[ClosedSession] = {
@@ -105,20 +117,28 @@ object StreamingDedupe {
             var st = state.getOption.orNull
             batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               val sec = e.ts.getTime / 1000L
-              if (st == null)
-                st = SessState(sec, sec, 1)
+              if (st != null && st.seen.contains(e.event_id)) {
+                // at-least-once redelivery of an event already folded
+                // into the open session: idempotent no-op
+              } else if (st == null)
+                st = SessState(sec, sec, 1, Set(e.event_id))
               else if (sec - st.last_sec > gapSec) {
                 out += close(uid, st)
-                st = SessState(sec, sec, 1)
-              } else if (st.first_sec - sec > gapSec)
+                st = SessState(sec, sec, 1, Set(e.event_id))
+              } else if (st.first_sec - sec > gapSec) {
                 // late orphan: earlier than the open session by more
-                // than the gap — its own session, already over
-                out += ClosedSession(uid, s"$uid@$sec", 1, 0L)
-              else
+                // than the gap — its own session, already over. The
+                // event_id suffix keeps session_ids globally unique
+                // even when two orphans land in the same truncated
+                // second (or collide with a session's start second).
+                out += ClosedSession(uid, s"$uid@$sec#${e.event_id}", 1, 0L)
+                st = st.copy(seen = st.seen + e.event_id)
+              } else
                 st = SessState(
                   math.min(sec, st.first_sec),
                   math.max(sec, st.last_sec),
-                  st.n_events + 1)
+                  st.n_events + 1,
+                  st.seen + e.event_id)
             }
             if (st != null) {
               state.update(st)
@@ -136,7 +156,8 @@ object StreamingDedupe {
       }
   }
 
-  final case class BandedDoc(doc_id: Long, band: String)
+  final case class BandedDoc(doc_id: Long, band: String,
+                             ts: java.sql.Timestamp)
   final case class CandidatePair(id_l: Long, id_r: Long, band: String)
 
   /** Streaming near-dup candidate generation — the LSH band join
@@ -146,30 +167,67 @@ object StreamingDedupe {
     * against every PRIOR member of its bucket. Bucket state is capped
     * at `bucketCap` ids (the same deterministic hot-bucket defense as
     * every batch band join here — a boilerplate bucket stops emitting
-    * and stops growing instead of going quadratic), so state is
-    * O(buckets × cap) regardless of stream length.
+    * and stops growing instead of going quadratic), so per-bucket state
+    * is O(cap) — and with `idleTtlMinutes = Some(m)`, buckets whose
+    * newest member is more than `m` minutes older than the WATERMARK
+    * are EVICTED via event-time timeout, so the bucket COUNT is
+    * bounded by the recently-active band keys, not the stream's whole
+    * history. The tradeoff is explicit: an arrival after its bucket
+    * expired pairs only against later members — near-dup detection
+    * against documents older than the TTL belongs to the periodic
+    * batch backfill (minhashPairs et al.), the standard lambda split
+    * for streaming LSH.
+    *
+    * `idleTtlMinutes = None` (default) keeps NoTimeout semantics: no
+    * eviction, bucket count grows with distinct band keys — acceptable
+    * only when the band-key space is bounded. The TTL is EVENT-time,
+    * not processing-time, deliberately: processing-time timeouts force
+    * the micro-batch engine into a continuous loop of no-data batches
+    * to fire expirations (observed here: hundreds of empty batches per
+    * minute regardless of trigger pacing), while event-time timeouts
+    * ride the watermark, which only moves when data flows — zero idle
+    * cost, same bound. Same clamp-above-watermark guard as
+    * [[streamingSessions]] so a late batch can't register a
+    * past-timestamp timeout (query crash).
     */
   def streamingBandCandidates(docs: Dataset[BandedDoc],
-                              bucketCap: Int = 200): Dataset[CandidatePair] = {
+                              bucketCap: Int = 200,
+                              idleTtlMinutes: Option[Int] = None,
+                              watermark: String = "1 hour"): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    docs.groupByKey(_.band)
+    val timeoutConf = if (idleTtlMinutes.isDefined)
+      GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    val src = if (idleTtlMinutes.isDefined) docs.withWatermark("ts", watermark)
+              else docs
+    src.groupByKey(_.band)
       .flatMapGroupsWithState[Seq[Long], CandidatePair](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
         case (band, events, state: GroupState[Seq[Long]]) =>
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
-          events.foreach { e =>
-            if (!members.contains(e.doc_id) && members.size < bucketCap) {
-              members.foreach { m =>
-                out += CandidatePair(math.min(m, e.doc_id),
-                  math.max(m, e.doc_id), band)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Seq.empty)
+            var maxEventMs = Long.MinValue
+            val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+            events.foreach { e =>
+              maxEventMs = math.max(maxEventMs, e.ts.getTime)
+              if (!members.contains(e.doc_id) && members.size < bucketCap) {
+                members.foreach { m =>
+                  out += CandidatePair(math.min(m, e.doc_id),
+                    math.max(m, e.doc_id), band)
+                }
+                members = members :+ e.doc_id
               }
-              members = members :+ e.doc_id
             }
+            state.update(members)
+            idleTtlMinutes.foreach { m =>
+              state.setTimeoutTimestamp(math.max(
+                maxEventMs + m * 60000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          state.update(members)
-          out.iterator
       }
   }
 

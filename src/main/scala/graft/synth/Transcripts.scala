@@ -77,6 +77,47 @@ object Transcripts {
         col("tool"), col("ts"))
   }
 
+  /** The input_hint turn schema — what a user-supplied corpus must
+    * carry (BASELINE.json input_hint; reference api.py:83-93 accepts
+    * any df of this shape). */
+  val turnSchema: String =
+    "conv_id string, turn_idx int, role string, text string, " +
+      "tool string, ts timestamp_ntz"
+
+  /** S1 ingest seam for USER-SUPPLIED corpora: read a transcript-turn
+    * table from parquet or CSV — the reference's documented first-run
+    * entry path is CSV (docs/source/usage/dedupe.rst train block:
+    * `pd.read_csv(...)` → `api.Dedupe(df=df)`, api.py:83-93). Returns
+    * the same shape as [[transcripts]], so `Normalize.normalize` and
+    * everything downstream is source-agnostic.
+    *
+    * CSV reads with an EXPLICIT schema, never inferSchema: inference
+    * is a full extra pass over the data (at 100 TB, a second scan),
+    * and silently-inferred types drift per partition sample. Headers
+    * on, quoted fields handled by the Spark CSV parser (multiline off
+    * — one turn per line keeps the input splittable for parallel
+    * scans; a corpus with embedded newlines should land as parquet).
+    */
+  def readTurns(spark: SparkSession, path: String,
+                format: String = "auto"): DataFrame = {
+    val fmt =
+      if (format != "auto") format
+      else if (path.endsWith(".csv") || path.endsWith(".csv.gz") ||
+               path.endsWith(".tsv")) "csv"
+      else "parquet"
+    fmt match {
+      case "csv" =>
+        spark.read
+          .option("header", "true")
+          .option("sep", if (path.endsWith(".tsv")) "\t" else ",")
+          .schema(turnSchema)
+          .csv(path)
+      case "parquet" => spark.read.schema(turnSchema).parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"readTurns: unsupported format '$other' (csv, parquet)")
+    }
+  }
+
   /** DuckDB sibling CTEs producing the identical table. Two flat CTEs
     * (no nested WITH — that breaks inside WITH RECURSIVE): prepend as
     * `WITH <oracleCte>` and select from `transcripts`.

@@ -190,13 +190,25 @@ object TextOps {
 
   // ---------- fingerprinting (shingle min-hash digest) ----------
 
-  private def shingles(k: Int): Column = {
-    val t = tokens(col("text"))
+  /** Token k-shingles over an ALREADY-PROJECTED token-array column.
+    *
+    * `t` must be a cheap reference (an attribute from a prior select),
+    * NOT the tokenizer expression itself: the lambda body references
+    * `t` per index, and Catalyst does not hoist non-lambda-dependent
+    * subexpressions out of higher-order-function lambdas — an inlined
+    * `tokens(text)` would re-split the whole document once per shingle
+    * index, O(n²) per row (measured: 36 s for two 10⁴-token rows).
+    */
+  private def shinglesOf(t: Column, k: Int): Column =
     when(size(t) >= k,
       transform(sequence(lit(0), size(t) - k),
         i => array_join(slice(t, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** Convenience wrapper for CHEAP call sites (small token lists or
+    * hand-checked specs). Hot paths must pre-project the tokens and
+    * use [[shinglesOf]] — see its scaladoc. */
+  private def shingles(k: Int): Column = shinglesOf(tokens(col("text")), k)
 
   private def shinglesSql(k: Int): String =
     s"[array_to_string($tokensSql[i:i+${k - 1}], ' ') " +
@@ -206,12 +218,14 @@ object TextOps {
     * (winnowing-style content signature).
     */
   def fingerprint(c: DataFrame): DataFrame = {
-    val sh = shingles(5)
-    val hashes = transform(sh, s => md5(s))
-    c.select(col("doc_id"),
-      size(sh).as("n_shingles"),
-      array_min(hashes).as("fp_min"),
-      array_max(hashes).as("fp_max"))
+    // tokens then shingles projected stage-wise so no expression is
+    // re-evaluated inside a lambda or across sibling columns
+    val sh = c.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), shinglesOf(col("_t"), 5).as("_sh"))
+    sh.select(col("doc_id"),
+      size(col("_sh")).as("n_shingles"),
+      array_min(transform(col("_sh"), s => md5(s))).as("fp_min"),
+      array_max(transform(col("_sh"), s => md5(s))).as("fp_max"))
   }
 
   val fingerprintSql: String =
@@ -225,16 +239,33 @@ object TextOps {
 
   /** 16-bit SimHash from per-token md5 nibbles: bit k set iff the
     * majority of tokens have a high bit in hex digit k of their md5.
+    *
+    * Shape: explode → md5 ONCE per token → 16 conditional-sum majority
+    * votes in one groupBy(doc_id) — the same hash-once shape as
+    * [[minhashSignatures]] and this operator's own DuckDB mirror. (The
+    * previous array-lambda formulation called `md5(w)` inside 16
+    * `filter` passes — Catalyst cannot hoist common subexpressions
+    * across higher-order-function lambdas, so every token was hashed
+    * 16×; at web scale the signature stage was pure redundant md5.)
+    * Zero-token docs rejoin via LEFT JOIN with signature 0, matching
+    * the empty-list majority vote.
     */
   def simhash(c: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val n = size(t)
-    val bits = (0 until 16).map { k =>
-      val cnt = size(filter(t, w =>
-        substring(md5(w), k + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")))
-      when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
+    val hashed = c.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val bitCnts = (0 until 16).map { d =>
+      sum(when(substring(col("h"), d + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L).otherwise(0L))
+        .as(s"c$d")
     }
-    c.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    val grouped = hashed.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCnts: _*)
+    val sig = (0 until 16).map { k =>
+      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    c.select(col("doc_id"))
+      .join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(sig, lit(0L)).as("simhash"))
   }
 
   /** DuckDB mirror of [[simhash]] — same hash-each-token-once shape as
@@ -266,23 +297,40 @@ object TextOps {
   /** Gopher-style repetition filters: fraction of the document made of
     * its single most frequent token, and of its most frequent token
     * bigram — the classic web-scale "repeated boilerplate" quality
-    * signals. Map-only, pure builtins (per-row O(distinct²) over small
-    * token lists). Quantized floor(x·10⁴)/10⁴ for engine parity.
+    * signals. Map-only, pure builtins. Quantized floor(x·10⁴)/10⁴ for
+    * engine parity.
+    *
+    * The top-count is computed as the MAX RUN LENGTH of the sorted
+    * list (one array_sort + one linear aggregate pass per row) — the
+    * previous distinct×filter formulation was O(distinct²) per row:
+    * fine on chat turns, quadratic on a 10⁴-distinct-token web
+    * document. Equal elements are adjacent after sorting, so max run
+    * length ≡ max frequency, and the ratio is unchanged.
     */
   def repetition(c: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
+    // project tokens/bigrams as attributes first (see shinglesOf)
+    val projected = c
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t"), shinglesOf(col("_t"), 2).as("_bg"))
     def domRatio(items: Column): Column = {
       val n = size(items).cast("double")
-      val top = array_max(transform(array_distinct(items),
-        d => size(filter(items, w => w === d))))
-        .cast("double")
+      // tokens/bigrams are never "" (tokenizer filters empties), so ""
+      // is a safe "no previous element" sentinel for the run counter
+      val acc0 = struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"))
+      val stepped = aggregate(array_sort(items), acc0, (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+      val top = stepped.getField("best").cast("double")
       when(n === 0, lit(0.0)).otherwise(top / n)
     }
-    val bigrams = shingles(2)
-    c.select(col("doc_id"),
-      size(t).as("n_tokens"),
-      q4(domRatio(t)).as("top_token_ratio"),
-      q4(domRatio(bigrams)).as("top_bigram_ratio"))
+    projected.select(col("doc_id"),
+      size(col("_t")).as("n_tokens"),
+      q4(domRatio(col("_t"))).as("top_token_ratio"),
+      q4(domRatio(col("_bg"))).as("top_bigram_ratio"))
   }
 
   /** Oracle mirror with the token/bigram lists HOISTED into subquery
@@ -316,15 +364,29 @@ object TextOps {
     * column; this is the pairing-grade signature.
     */
   def simhash64(c: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val n = size(t)
-    val bits = (0 until 64).map { k =>
-      val cnt = size(filter(t, w =>
-        conv(substring(md5(w), k / 4 + 1, 1), 16, 10).cast("int")
-          .bitwiseAND(lit(1 << (k % 4))) > 0))
-      when(cnt * 2 > n, lit(1L << k)).otherwise(lit(0L))
+    // hash-once shape (see [[simhash]]): one md5 per token, the 16 hex
+    // digits decoded to integers ONCE in a projection, then 64 integer
+    // bit-test conditional sums in a single groupBy(doc_id) — identical
+    // result to the old 64-filter-pass formulation with 1/64th the
+    // hashing (mirrors simhash64Sql, which was already hash-once).
+    val hashed = c.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    val digits = hashed.select(
+      (col("doc_id") +: (0 until 16).map(d =>
+        conv(substring(col("h"), d + 1, 1), 16, 10).cast("int")
+          .as(s"d$d"))): _*)
+    val bitCnts = (0 until 64).map { k =>
+      sum(when(col(s"d${k / 4}").bitwiseAND(lit(1 << (k % 4))) > 0, 1L)
+        .otherwise(0L)).as(s"c$k")
     }
-    c.select(col("doc_id"), bits.reduce(_ bitwiseOR _).as("simhash64"))
+    val grouped = digits.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), bitCnts: _*)
+    val sig = (0 until 64).map { k =>
+      when(col(s"c$k") * 2 > col("n"), lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    c.select(col("doc_id"))
+      .join(grouped, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(sig, lit(0L)).as("simhash64"))
   }
 
   /** DuckDB mirror of [[simhash64]], shaped for oracle CHEAPNESS: the
@@ -454,7 +516,9 @@ object TextOps {
     * Zero-shingle docs produce no rows, same as the previous filter.
     * (doc_id, h0..h7). */
   def minhashSignatures(c: DataFrame): DataFrame = {
-    val exploded = c.select(col("doc_id"), explode(shingles(3)).as("s"))
+    val exploded = c
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), explode(shinglesOf(col("_t"), 3)).as("s"))
       .select(col("doc_id"),
         md5(concat(lit("0:"), col("s"))).as("d0"),
         md5(concat(lit("1:"), col("s"))).as("d1"))
@@ -500,8 +564,9 @@ object TextOps {
   def minhashPairs(c: DataFrame, threshold: Double = 0.5,
                    bandCap: Int = BandCap): DataFrame = {
     val candidates = minhashCandidates(c, bandCap)
-    val sh = c.select(col("doc_id"),
-      array_distinct(shingles(3)).as("sh"))
+    val sh = c.select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"),
+        array_distinct(shinglesOf(col("_t"), 3)).as("sh"))
     val verified = candidates
       .join(sh.select(col("doc_id").as("id_l"), col("sh").as("sh_l")), "id_l")
       .join(sh.select(col("doc_id").as("id_r"), col("sh").as("sh_r")), "id_r")

@@ -78,6 +78,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
       "sorted-neighborhood rank fell back to a window")
   }
 
+  test("simhash signatures hash each token exactly once (md5 node count)") {
+    import spark.implicits._
+    // count md5 EXPRESSION NODES in the optimized plan tree (string
+    // rendering truncates wide aggregate lists, so grep would lie):
+    // if CollapseProject ever re-inlines the hash projection into the
+    // 16/64 majority-vote aggregates, the count jumps and this fails.
+    def md5Nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case e if e.prettyName == "md5" => e
+        }.size).sum
+      }.sum
+    val c = Seq((1L, "a b a"), (2L, "")).toDF("doc_id", "text")
+    assert(md5Nodes(graft.text.TextOps.simhash(c)) == 1,
+      "simhash regressed to per-bit re-hashing")
+    assert(md5Nodes(graft.text.TextOps.simhash64(c)) == 1,
+      "simhash64 regressed to per-bit re-hashing")
+  }
+
+  test("brute-force ANN top-k is two-phase — no corpus-sized window partition") {
+    val q31 = SparkEntry.queries("q31_ann_topk")(spark, sfDir)
+    val plan = q31.queryExecution.executedPlan.toString
+    // phase 1 partitions by (query_id, spark_partition_id()): every
+    // window partition is bounded by a scan partition, never the corpus
+    assert(plan.contains("_pid"),
+      s"local top-k phase (partition-bounded window) missing:\n$plan")
+    assert(plan.contains("_lr"),
+      s"local-rank filter missing — global window sees the corpus:\n$plan")
+    assert(q31.count() > 0)
+  }
+
   test("zip-join and ordered-result plans carry no unpartitioned Window") {
     // q17/q48 rank via range-partitioned zipWithIndex — the plan must
     // not contain a WindowExec at all (an unpartitioned row_number

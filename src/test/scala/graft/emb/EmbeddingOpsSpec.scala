@@ -168,6 +168,31 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
       .map(x => (x.getLong(0), x.getInt(3)) -> x.getLong(1)).toMap == exact)
   }
 
+  test("KMeans IVF beats random candidate selection: recall exceeds the " +
+    "scanned corpus fraction, which the learned quantizer keeps small") {
+    // recall alone is gameable — a degenerate quantizer (the demo
+    // lowest-id centroids) posts high recall because one giant cell
+    // makes every probe near-brute-force. The real claim of a LEARNED
+    // coarse quantizer is recall >> scanned fraction at a SMALL
+    // scanned fraction.
+    val nC = 16; val nprobe = 4; val nQ = 4; val k = 5
+    val cents = EmbeddingOps.kmeansCentroids(emb, nC)
+    val scan = EmbeddingOps.ivfScanFraction(emb, nC, nprobe, nQ, Some(cents))
+    val exact = EmbeddingOps.bruteForceTopK(emb, nQ, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = EmbeddingOps.ivfTopK(emb, nC, nprobe, nQ, k, Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    info(f"KMeans IVF recall@$k = $recall%.3f at scan fraction $scan%.3f")
+    assert(scan < 0.8, s"learned cells degenerate: probe scans $scan of corpus")
+    assert(recall > scan,
+      s"recall $recall no better than random selection at fraction $scan")
+    // and the demo quantizer's scan fraction shows WHY its recall is
+    // not comparable: it probes most of the corpus
+    val scanDemo = EmbeddingOps.ivfScanFraction(emb, nC, nprobe, nQ)
+    info(f"demo-centroid scan fraction: $scanDemo%.3f")
+  }
+
   test("KMeans per-subspace codebooks drop into PQ and beat the " +
     "lowest-id demo codebooks on quantization error") {
     val learned = EmbeddingOps.kmeansCodebooks(emb, m = 8, k = 16)

@@ -34,6 +34,21 @@ class TableIOSpec extends AnyFunSuite with SparkSuite {
     assert(n == 2)
   }
 
+  test("invalidate works through the Hadoop FileSystem (file:-scheme root)") {
+    // explicit scheme: java.io.File cannot open "file:/tmp/...", so this
+    // case only passes if invalidate/committed go through FileSystem
+    val dir = "file:" + Files.createTempDirectory("graft_tableio_fs").toString
+    val io = new TableIO(spark, dir)
+    var n = 0
+    def compute = { n += 1; Seq(n).toDF("v") }
+    io.stage("s")(compute)
+    io.stage("s")(compute)
+    assert(n == 1, "committed() missed the _SUCCESS marker through the FS")
+    io.invalidate("s")
+    io.stage("s")(compute)
+    assert(n == 2, "invalidate() silently no-opped on the file:-scheme root")
+  }
+
   test("lineage rows record stage metrics") {
     val (io, _) = freshIO()
     io.stage("alpha", Seq("in1"))(Seq(1, 2, 3).toDF("v"))

@@ -106,19 +106,92 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
       .outputMode("append").start()
     try {
       source.addData(
-        StreamingDedupe.BandedDoc(1L, "b1"),
-        StreamingDedupe.BandedDoc(2L, "b1"),
-        StreamingDedupe.BandedDoc(9L, "b2"))
+        StreamingDedupe.BandedDoc(1L, "b1", ts(0)),
+        StreamingDedupe.BandedDoc(2L, "b1", ts(1)),
+        StreamingDedupe.BandedDoc(9L, "b2", ts(2)))
       q.processAllAvailable()
       // batch 2: cross-batch candidate + duplicate replay + cap overflow
       source.addData(
-        StreamingDedupe.BandedDoc(3L, "b1"),  // pairs with 1 and 2
-        StreamingDedupe.BandedDoc(2L, "b1"),  // replay: no new pairs
-        StreamingDedupe.BandedDoc(4L, "b1"))  // bucket full (cap 3): dropped
+        StreamingDedupe.BandedDoc(3L, "b1", ts(3)),  // pairs with 1 and 2
+        StreamingDedupe.BandedDoc(2L, "b1", ts(4)),  // replay: no new pairs
+        StreamingDedupe.BandedDoc(4L, "b1", ts(5)))  // bucket full (cap 3)
       q.processAllAvailable()
       val pairs = spark.table("band_cands")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessions: at-least-once replay is idempotent and " +
+    "same-second orphans get distinct session ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.SessEvent]
+    // watermark delay (2 h) > session gap (30 min): late orphans reach
+    // the function instead of being dropped by the engine's late-row
+    // filter — the only regime where the orphan path is live
+    val q = StreamingDedupe.streamingSessions(source.toDS(),
+        gapMinutes = 30, watermark = "2 hours")
+      .writeStream.format("memory").queryName("sess_idem")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000L
+      // batch 1: open session for user 7 spanning t+40..t+50
+      source.addData(
+        StreamingDedupe.SessEvent(7L, 1L, ts(40)),
+        StreamingDedupe.SessEvent(7L, 2L, ts(50)))
+      q.processAllAvailable()
+      // batch 2: event 2 REPLAYED (at-least-once), one genuinely new
+      // event, and two late orphans in the SAME truncated second
+      source.addData(
+        StreamingDedupe.SessEvent(7L, 2L, ts(50)),   // replay: no-op
+        StreamingDedupe.SessEvent(7L, 3L, ts(55)),
+        StreamingDedupe.SessEvent(7L, 100L, ts(0)),  // orphan
+        StreamingDedupe.SessEvent(7L, 101L, ts(0)))  // orphan, same sec
+      q.processAllAvailable()
+      // batch 3: 40-min gap closes the open session in-stream
+      source.addData(StreamingDedupe.SessEvent(7L, 4L, ts(100)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_idem")
+        .collect().map(r => r.getString(1) -> r.getInt(2)).toMap
+      // orphan ids disambiguated by event_id — BOTH survive
+      assert(closed.contains(s"7@$base#100") && closed(s"7@$base#100") == 1)
+      assert(closed.contains(s"7@$base#101") && closed(s"7@$base#101") == 1)
+      // replayed event NOT double-counted: 3 distinct events, not 4
+      assert(closed(s"7@${base + 40 * 60}") == 3)
+    } finally q.stop()
+  }
+
+  test("streaming band candidates: idle buckets expire via event-time " +
+    "TTL and restart fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.BandedDoc]
+    val q = StreamingDedupe.streamingBandCandidates(source.toDS(),
+        bucketCap = 10, idleTtlMinutes = Some(30),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("band_ttl")
+      .outputMode("append").start()
+    try {
+      // batch 1: bucket b9 = {1} at t+0
+      source.addData(StreamingDedupe.BandedDoc(1L, "b9", ts(0)))
+      q.processAllAvailable()
+      // batch 2: another band far in the future advances the watermark
+      // to t+110min — past b9's t+30min TTL
+      source.addData(StreamingDedupe.BandedDoc(50L, "other", ts(120)))
+      q.processAllAvailable()
+      // batch 3: b9's expired timeout FIRES (timed-out groups are
+      // processed on the trigger after the watermark passes) → evicted
+      source.addData(StreamingDedupe.BandedDoc(51L, "other", ts(121)))
+      q.processAllAvailable()
+      // evicted: doc 2 pairs with nothing...
+      source.addData(StreamingDedupe.BandedDoc(2L, "b9", ts(125)))
+      q.processAllAvailable()
+      // ...but the bucket RESTARTED: doc 3 pairs with doc 2 only
+      source.addData(StreamingDedupe.BandedDoc(3L, "b9", ts(126)))
+      q.processAllAvailable()
+      val pairs = spark.table("band_ttl").filter(col("band") === "b9")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((2L, 3L)),
+        s"expected stale-bucket eviction then fresh restart, got $pairs")
     } finally q.stop()
   }
 

@@ -99,6 +99,22 @@ class TextOpsSpec extends AnyFunSuite with SparkSuite {
     assert(got(3L) == ((0.0, 0.0)))
   }
 
+  test("repetition completes fast on a 10k-distinct-token document " +
+    "(linear run-length, not distinct-squared)") {
+    // 10^4 distinct tokens: the old distinct×filter shape did 10^8
+    // comparisons per row here; the sorted run-length pass is ~10^4 log
+    val big = (0 until 10000).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, ("dup " * 5000).trim))
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val got = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got(1L) == ((0.0001, 0.0001)))   // all distinct
+    assert(got(2L)._1 == 1.0)               // one dominant token
+    assert(secs < 30.0, s"repetition took ${secs}s on a 10k-token doc")
+  }
+
   test("simhash hamming pairs: identical docs at distance 0, disjoint docs excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
