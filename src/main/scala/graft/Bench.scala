@@ -129,6 +129,17 @@ object Bench {
     val tScoring = math.min(tScoring1, tScoring2)
     val pps = nScored / tScoring
 
+    // ---- e2e LEARNED pipeline at the bench SF: the greedy-DP
+    //      conjunction learner + budgeted blocking + ML classifier +
+    //      connected components (graft.pipeline.Dedupe.run) — the
+    //      distinguishing stage of this engine, previously only
+    //      driver-timed at sf0.001. Reported as its own top-level
+    //      field and EXCLUDED from total_sec (total stays comparable
+    //      across rounds; this re-runs the whole pipeline). ----
+    val (_, tE2eLearned) = time {
+      graft.pipeline.Dedupe.run(spark, sfDir).clusters.count()
+    }
+
     // "scoring" carries the SAME best-of-two value as scoring_sec so
     // cross-round consumers of queries.scoring compare like with like;
     // the raw passes stay as diagnostics
@@ -152,7 +163,8 @@ object Bench {
     val json = s"""{"metric":"pairs_scored_per_sec","value":$pps,""" +
       s""""unit":"pairs/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""pairs_scored":$nScored,"n_pairs":$nPairs,"score_sum":$scoreSum,""" +
-      s""""scoring_sec":$tScoring,"total_sec":$total,""" +
+      s""""scoring_sec":$tScoring,"e2e_learned_sec":$tE2eLearned,""" +
+      s""""total_sec":$total,""" +
       s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
       s""""heap_gb":${math.round(heapGb * 10) / 10.0}}"""
     // stdout for the driver's line parser (build.sbt forwards forked

@@ -1,6 +1,6 @@
 package graft.block
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -30,33 +30,125 @@ final case class ConjStats(
   *
   * Execution: where the reference issues ONE POSTGRES QUERY PER
   * CANDIDATE CONJUNCTION (blocking.py:196-254) from a process pool,
-  * here every DP step scores ALL extensions of a base in ONE Spark job:
+  * here every DP step scores ALL extensions of a base in one batch:
   * the per-extension inverted indexes are unioned under a `_x` tag
-  * column, self-joined on (tag, signatures), left-joined to labels and
-  * aggregated grouped by tag (J3+A1 batched). The train sample is tiny
-  * (reference n=5000) and cached, so the whole search is
-  * O(k × #seeds-passing) jobs instead of O(k × 44²). Scores are
-  * memoized across seeds (reference @lru_cache, optimizers.py:37-50).
+  * column and aggregated grouped by tag (J3+A1 batched) — see
+  * [[scoreBatch]] for the block-size/coverage split that keeps the
+  * whole search O(k × #seeds-passing) batches with no pair-scale
+  * work. Scores are memoized across seeds (reference @lru_cache,
+  * optimizers.py:37-50).
+  */
+/** Conjunction statistics are evaluated on the FULL `records` corpus,
+  * not a train sample — a deliberate divergence from the reference's
+  * sample-table estimator (db/postgres/initialize.py train table) and
+  * the Spark-first answer to a bias a sample CANNOT fix: blocking is
+  * frequency-capped, and pair structure shrinks quadratically under
+  * record sampling, so a scheme whose keys are hot at corpus scale but
+  * cool in an m-of-n sample (a short prefix over a growing key domain)
+  * looks high-coverage in-sample and then loses all its blocks to the
+  * cap at full scale (measured here: blocking recall 1.0 → 0.2 at
+  * sf0.1 from a 4.8k-of-162k sample; re-scaling the cap to m/n just
+  * trades the bias for noise — surviving sample blocks of size ≤ 3
+  * score rr ≈ 1 on luck).
+  *
+  * Evaluating full-corpus stats WITHOUT the quadratic self-join:
+  *   - `n_pairs` = Σ_blocks C(size, 2) over cap-surviving blocks —
+  *     computed from BLOCK SIZES (one groupBy per batch, map-side
+  *     partial agg), never materializing a pair. For multi-key (n-gram)
+  *     schemes this counts a pair once per shared key — an upper bound
+  *     that is exactly the JOIN WORK the conjunction induces, which is
+  *     what the reduction ratio guards.
+  *   - `positives`/`negatives` = labeled pairs whose two sides share a
+  *     cap-surviving key — a join against the LABELED records only
+  *     (thousands of rows however large the corpus).
   */
 final class Learner(
-    train: DataFrame,
+    records: DataFrame,
     labels: DataFrame,
     attrs: Seq[String],
     k: Int = 3,
     seedRrCut: Double = 0.99,
     maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
-    idCol: String = "conv_id") {
+    idCol: String = "conv_id",
+    maxDpSeeds: Int = 12) {
 
   val schemes: Seq[BoundScheme] = Schemes.forAttributes(attrs)
   private val byName: Map[String, BoundScheme] =
     schemes.map(b => b.name -> b).toMap
   private val cache = mutable.Map.empty[Seq[String], ConjStats]
 
-  private val trainCached = train.cache()
   private val labelsCached = labels.cache()
+
+  private def sigColName(scheme: String): String = s"_s_$scheme"
+
+  /** Forward SIGNATURE table: idCol + one validated signature column
+    * per scheme, every column an array<string> (scalar schemes become
+    * 1-element arrays; array schemes are deduped map-side and cleared
+    * of null/"" exactly as [[Blocking.invertedIndex]] filters them).
+    * Computed and cached ONCE — the expensive part of every DP batch
+    * (regex tokenization, n-gram generation over text attributes) runs
+    * one time per record instead of once per batch per record.
+    */
+  private def sigTable(df: DataFrame): DataFrame =
+    df.select((col(idCol) +: schemes.map { b =>
+      val e = b.scheme.expr(b.attr)
+      val c =
+        if (b.isArray)
+          filter(array_distinct(e), s => s.isNotNull && s =!= "")
+        else
+          when(e.isNotNull && e =!= "", array(e))
+            .otherwise(array().cast("array<string>"))
+      c.as(sigColName(b.name))
+    }): _*)
+
+  private val corpusSigs = sigTable(records).cache()
+  // labeled-record slice of the corpus — both ends of every labeled
+  // pair; tiny next to the corpus, cached for the coverage joins
+  private val labRecSigs = {
+    val ids = labels.select(col("id_l").as(idCol))
+      .unionByName(labels.select(col("id_r").as(idCol))).distinct()
+    sigTable(records.join(ids, Seq(idCol), "left_semi")).cache()
+  }
   private lazy val nComparisons: Double = {
-    val n = trainCached.count().toDouble
+    val n = corpusSigs.count().toDouble
     n * (n - 1) / 2.0
+  }
+
+  /** Per-row array of 64-bit hashes of the base-conjunction signature
+    * tuples — the cartesian product of the base schemes' per-record
+    * signature sets, hash-chained left to right (block statistics need
+    * key IDENTITY, not key text; a 64-bit collision merges two blocks
+    * in the estimate with probability ~#blocks²/2⁶⁴ — statistical
+    * zero). Empty array ⇔ some base scheme has no valid signature ⇔
+    * the record is in no block of this conjunction.
+    */
+  private def combosCol(base: Seq[String]): Column =
+    base.foldLeft(array(lit(0L))) { (acc, name) =>
+      flatten(transform(acc, h =>
+        transform(col(sigColName(name)), s => xxhash64(h, s))))
+    }
+
+  /** (tag, block-key-hash) incidence rows for `base ∧ x` over every x,
+    * one per (record, extension, compound signature) — produced by a
+    * PURE PROJECTION over the cached signature table: no join anywhere,
+    * so the only shuffle a stats batch ever does is the partial-agg
+    * groupBy on the emitted key.
+    */
+  private def keyedRows(sigs: DataFrame, base: Seq[String],
+                        exts: Seq[String], keep: Seq[Column]): DataFrame = {
+    val extArr = array(exts.map(x =>
+      struct(lit(x).as("_x"), col(sigColName(x)).as("sigs"))): _*)
+    sigs
+      .select((keep :+ combosCol(base).as("_bc")) :+
+        explode(extArr).as("_e"): _*)
+      // the key list is computed as a PLAIN column between the two
+      // generators: an explode whose child dereferences the previous
+      // explode's struct inside nested lambdas trips Catalyst's
+      // attribute binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND)
+      .select((keep :+ col("_e._x").as("_x")) :+
+        flatten(transform(col("_bc"), h =>
+          transform(col("_e.sigs"), s => xxhash64(h, s)))).as("_ks"): _*)
+      .select((keep :+ col("_x")) :+ explode(col("_ks")).as("sigh"): _*)
   }
 
   /** Optional progress logging (-Dgraft.verbose=true or GRAFT_VERBOSE=1). */
@@ -65,57 +157,70 @@ final class Learner(
   private def log(msg: => String): Unit =
     if (verbose) System.err.println(s"[learner] $msg")
 
-  /** Score `base ∧ x` for every x in `exts` — one Spark job total.
+  /** Score `base ∧ x` for every x in `exts` — two Spark jobs total.
     *
-    * Shape: the extension signatures are MELTED into one narrow
-    * (id, _x, sig_e) DataFrame (33 trivial scans of the cached train
-    * sample, no per-extension joins), joined to the base-conjunction
-    * signature tuple, capped with a window count, self-joined once on
-    * (_x, base sigs, sig_e) and aggregated once grouped by _x. Three
-    * shuffles per DP step regardless of extension count — a naive
-    * per-extension union was ~150 sequential AQE stages.
+    * Shape: ONE map-only pass over the cached signature table emits
+    * (tag, block-key-hash) incidence rows for every extension at once
+    * ([[keyedRows]] — no corpus-scale join anywhere), then (1) a
+    * grouped count turns them into BLOCK SIZES — n_pairs is
+    * Σ C(size,2) over cap-surviving blocks, no pair ever materialized —
+    * and (2) the labeled-record slice's keys are semi-joined against
+    * the surviving blocks to count covered labeled pairs. One
+    * corpus-scale shuffle per DP step regardless of extension count,
+    * with map-side partial aggregation; nothing scales with the pair
+    * count.
     */
   def scoreBatch(base: Seq[String], exts: Seq[String]): Map[String, ConjStats] = {
     val missing = exts.filterNot(x => cache.contains(((base :+ x).sorted)))
     val t0 = System.nanoTime()
     if (missing.nonEmpty) {
-      val boundBase = base.map(byName)
-      val baseDF =
-        if (base.isEmpty) trainCached.select(col(idCol))
-        else Blocking.invertedIndex(trainCached, boundBase, idCol)
-      val melted = missing.map { x =>
-        val b = byName(x)
-        val e = if (b.isArray) explode(array_distinct(b.scheme.expr(b.attr)))
-          else b.scheme.expr(b.attr)
-        trainCached.select(col(idCol), lit(x).as("_x"), e.as("sig_e"))
-      }.reduce(_ unionByName _)
-        .filter(col("sig_e").isNotNull && col("sig_e") =!= "")
-      val inv = baseDF.join(melted, idCol)
-      val sigCols = base.indices.map(i => s"sig_$i")
-      val keyCols = ("_x" +: sigCols) :+ "sig_e"
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*)
-      val capped = inv
-        .withColumn("_n", count(lit(1)).over(w))
-        .filter(col("_n") <= maxBlockSize)
-        .drop("_n")
-      val l = capped.select((col(idCol).as("id_l") +: keyCols.map(col)): _*)
-      val r = capped.select((col(idCol).as("id_r") +: keyCols.map(col)): _*)
-      val pairs = l.join(r, keyCols)
-        .filter(col("id_l") < col("id_r"))
-        .dropDuplicates("_x" :: "id_l" :: "id_r" :: Nil)
-      val rows = pairs
-        .join(labelsCached, Seq("id_l", "id_r"), "left")
+      val keyCols = Seq("_x", "sigh")
+      // block SIZES on the full corpus — a plain groupBy with map-side
+      // partial aggregation over map-only incidence rows; the cap is
+      // applied to the real sizes, exactly as candidatePairs will apply
+      // it at blocking time.
+      // read twice (n_pairs agg + coverage semi-join) → persisted, but
+      // DISK_ONLY with an explicit unpersist below: the surviving-block
+      // table can be tens of millions of rows per batch, and pinning
+      // one per DP step in executor memory (localCheckpoint) OOMed the
+      // 8 GB test JVM halfway through the search
+      // _n > 1: singleton blocks are dropped before the persist — they
+      // contribute C(1,2) = 0 pairs, and a labeled pair BOTH of whose
+      // ends emit a key makes that key's global size ≥ 2, so no
+      // coverage can hide in a singleton. With n-gram schemes most
+      // compound keys are singletons; this shrinks the spilled block
+      // table by roughly that fraction.
+      val surviving = keyedRows(corpusSigs, base, missing, Nil)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n"))
+        .filter(col("_n") > 1 && col("_n") <= maxBlockSize)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val nPairsRows = surviving.groupBy(col("_x"))
+        .agg(sum(col("_n") * (col("_n") - 1) / 2).cast("long").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // labeled-pair coverage: both ends share a cap-surviving key —
+      // joins touch only the labeled-record slice, never the corpus
+      val labSigs = keyedRows(labRecSigs, base, missing, Seq(col(idCol)))
+        .join(surviving.select(keyCols.map(col): _*), keyCols, "left_semi")
+      val l = labSigs.select((col(idCol).as("id_l") +: keyCols.map(col)): _*)
+      val r = labSigs.select((col(idCol).as("id_r") +: keyCols.map(col)): _*)
+      val covRows = labelsCached
+        .join(l, "id_l")
+        .join(r, ("id_r" +: keyCols))
+        .select("_x", "id_l", "id_r", "label").distinct()
         .groupBy(col("_x"))
         .agg(
-          count(lit(1)).as("n"),
           coalesce(sum(when(col("label") === 1, 1L)), lit(0L)).as("pos"),
           coalesce(sum(when(col("label") === 0, 1L)), lit(0L)).as("neg"))
-        .collect()
-      val found = rows.map { row =>
-        row.getString(0) -> ConjStats(base :+ row.getString(0),
-          row.getLong(1), row.getLong(2), row.getLong(3),
-          1.0 - row.getLong(1) / math.max(nComparisons, 1.0))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2)))).toMap
+      surviving.unpersist()
+      val found = missing.flatMap { x =>
+        nPairsRows.get(x).map { n =>
+          val (pos, neg) = covRows.getOrElse(x, (0L, 0L))
+          x -> ConjStats(base :+ x, n, pos, neg,
+            1.0 - n / math.max(nComparisons, 1.0))
+        }
       }.toMap
       missing.foreach { x =>
         val s = found.getOrElse(x,
@@ -172,8 +277,23 @@ final class Learner(
     */
   def learn(): Seq[ConjStats] = {
     val singles = scoreBatch(Nil, schemes.map(_.name))
-    schemes.map(_.name)
-      .flatMap(s => getBestFrom(s, singles))
+    val passing = schemes.map(_.name).filter { s =>
+      val st = singles(s); st.positives > 0 && st.rr >= seedRrCut
+    }
+    // extend only the strongest maxDpSeeds seeds through the DP — each
+    // depth level of each seed is a corpus-scale stats batch; weaker
+    // passing seeds stay in the learned list as their depth-1 selves,
+    // so the best-first budget loop can still reach them, only their
+    // deeper refinements are skipped. (The reference extends EVERY
+    // seed — one postgres query per candidate from a process pool,
+    // optimizers.py:73-99; at Spark batch costs the tail seeds'
+    // refinements never alter the applied prefix of the list.)
+    val extendSeeds = passing
+      .sortBy(s => singles(s).key)(Ordering[(Double, Long, Long)].reverse)
+      .take(maxDpSeeds)
+    val rest = passing.filterNot(extendSeeds.contains)
+    (extendSeeds.flatMap(s => getBestFrom(s, singles)) ++
+      rest.map(singles))
       .distinctBy(_.conjunction.sorted)
       .sortBy(_.key)(Ordering[(Double, Long, Long)].reverse)
   }
@@ -182,6 +302,7 @@ final class Learner(
     names.map(byName)
 
   def unpersist(): Unit = {
-    trainCached.unpersist(); labelsCached.unpersist()
+    corpusSigs.unpersist(); labelsCached.unpersist()
+    labRecSigs.unpersist(); ()
   }
 }

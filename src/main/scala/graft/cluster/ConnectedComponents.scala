@@ -51,22 +51,43 @@ object ConnectedComponents {
     * made it slower). */
   val EdgesPerPartition = 200000L
 
+  /** Edge count above which STRING node ids are dictionary-encoded to
+    * dense longs before the superstep loop. Every superstep is ~6
+    * exchanges keyed on node id over O(log n) rounds — long keys cut
+    * shuffle bytes and comparator cost — but the encode itself is a
+    * fixed ~5 jobs + 4 joins (distinct, range-sort, zipWithIndex,
+    * encode ×2, decode ×2): measured +3.4 s on a 15k-edge graph whose
+    * whole CC takes 4 s. Below this threshold the loop runs directly
+    * on strings; above it the superstep shuffles dwarf the encode. */
+  val EncodeEdgeThreshold = 1000000L
+
   def run(edges: DataFrame, maxRounds: Int = 50,
-          reliableCheckpoints: Boolean = false): (DataFrame, Seq[Superstep]) = {
+          reliableCheckpoints: Boolean = false,
+          encodeThreshold: Long = EncodeEdgeThreshold)
+      : (DataFrame, Seq[Superstep]) = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    if (edges.schema("id_l").dataType != StringType)
-      return runEncoded(edges, maxRounds, reliableCheckpoints)
-    // String node ids: dictionary-encode to dense longs BEFORE the
-    // superstep loop. Every superstep is ~6 exchanges keyed on node id
-    // and the loop runs O(log n) rounds — hashing/comparing long keys
-    // instead of strings cuts shuffle bytes and comparator cost on the
-    // pipeline's only iterative stage. The encoding is ORDER-PRESERVING
-    // (ids assigned by zipWithIndex over range-sorted distinct ids), so
-    // min-over-idx ≡ min-over-id and the decoded component is the same
-    // min member id the string-keyed run produces.
     val spark = edges.sparkSession
-    val nodes = edges.select(col("id_l").as("id"))
-      .unionByName(edges.select(col("id_r").as("id")))
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
+    // normalize once: undirected, canonical a<b, deduped — materialized
+    // because the loop (and the encode decision) scans it repeatedly
+    val e0 = materialize(edges
+      .select(col("id_l").as("a"), col("id_r").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct())
+    val fp0 = fingerprint(e0)
+    val stringIds = edges.schema("id_l").dataType == StringType
+    if (!stringIds || fp0._1 <= encodeThreshold)
+      return loop(e0, fp0, maxRounds, reliableCheckpoints)
+    // Dictionary-encode (see EncodeEdgeThreshold). ORDER-PRESERVING:
+    // ids assigned by zipWithIndex over range-sorted distinct ids, so
+    // min-over-idx ≡ min-over-id, the canonical a<b orientation
+    // survives encoding, and the decoded component is the same min
+    // member id the string-keyed run produces.
+    val nodes = e0.select(col("a").as("id"))
+      .unionByName(e0.select(col("b").as("id")))
       .distinct()
       .repartitionByRange(col("id"))
       .sortWithinPartitions(col("id"))
@@ -79,11 +100,12 @@ object ConnectedComponents {
       }, dictSchema)
     val dict = if (reliableCheckpoints) dict0.checkpoint()
                else dict0.localCheckpoint()
-    val encoded = edges
-      .join(dict.select(col("id").as("id_l"), col("idx").as("_el")), "id_l")
-      .join(dict.select(col("id").as("id_r"), col("idx").as("_er")), "id_r")
-      .select(col("_el").as("id_l"), col("_er").as("id_r"))
-    val (members, steps) = runEncoded(encoded, maxRounds, reliableCheckpoints)
+    val encoded = materialize(e0
+      .join(dict.select(col("id").as("a"), col("idx").as("_ea")), "a")
+      .join(dict.select(col("id").as("b"), col("idx").as("_eb")), "b")
+      .select(col("_ea").as("a"), col("_eb").as("b")))
+    val (members, steps) = loop(encoded, fingerprint(encoded), maxRounds,
+      reliableCheckpoints)
     val decoded = members
       .join(dict.select(col("idx").as("id"), col("id").as("_sid")), "id")
       .join(dict.select(col("idx").as("component"), col("id").as("_scomp")),
@@ -92,20 +114,16 @@ object ConnectedComponents {
     (decoded, steps)
   }
 
-  private def runEncoded(edges: DataFrame, maxRounds: Int,
+  /** The alternating large-star/small-star loop over a normalized
+    * (undirected, canonical, deduped, materialized) edge set. */
+  private def loop(e0: DataFrame, fp0: (Long, Long), maxRounds: Int,
           reliableCheckpoints: Boolean): (DataFrame, Seq[Superstep]) = {
-    val spark = edges.sparkSession
+    val spark = e0.sparkSession
     def materialize(df: DataFrame): DataFrame =
       if (reliableCheckpoints) df.checkpoint() else df.localCheckpoint()
-    var e = materialize(edges
-      .select(col("id_l").as("a"), col("id_r").as("b"))
-      .filter(col("a") =!= col("b"))
-      .select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .distinct())
-
+    var e = e0
     val steps = scala.collection.mutable.ArrayBuffer.empty[Superstep]
-    var fp = fingerprint(e)
+    var fp = fp0
     steps += Superstep(0, fp._1, fp._2)
     // adapt shuffle width to the live edge count per round (restored
     // after the loop, exception-safe via finally). NOTE: the setting is

@@ -34,6 +34,14 @@ object Dedupe {
       nCovered: Long = 500000L, // reference settings.py:47-48
       maxCompare: Long = 1000000L, // reference settings.py:44-45
       threshold: Double = 0.8,  // reference cluster/cluster.py:24
+      // cap on labeled pairs fed to the learner + classifier (0 = all):
+      // stratified seeded sample per class. The reference trains from a
+      // SMALL annotated set (pos/neg samples + active-learning rounds,
+      // initialize.py:100-115) — handing every planted truth pair to
+      // the DP learner made the learner stage scale with corpus size
+      // (345 s of a 545 s sf0.1 run) for no estimate quality gain:
+      // rr/coverage statistics converge with hundreds of labels.
+      maxTrainLabels: Int = 2000,
       seed: Long = 42L,
       useMlClassifier: Boolean = true,
       // which spark.ml algorithm backs the match classifier: logistic
@@ -108,19 +116,29 @@ object Dedupe {
     }.cache()
 
     // 2. labeled pairs (planted-duplicate truth, reference
-    //    initialize.py:117-135 analog)
-    val labels = Labels.plantedLabels(spark, sfDir).cache()
+    //    initialize.py:117-135 analog), capped per cfg.maxTrainLabels —
+    //    md5-seeded per-class sample: deterministic across runs/engines
+    //    and balanced (both classes survive whatever the corpus ratio)
+    val labelsAll = Labels.plantedLabels(spark, sfDir)
+    val labels = (if (cfg.maxTrainLabels > 0) {
+      val perClass = math.max(cfg.maxTrainLabels / 2, 1)
+      def strat(v: Int) = labelsAll.filter(col("label") === v)
+        .orderBy(md5(concat(lit(s"${cfg.seed}:"), col("id_l"),
+          lit("|"), col("id_r"))), col("id_l"), col("id_r"))
+        .limit(perClass)
+      strat(1).unionByName(strat(0))
+    } else labelsAll).cache()
 
-    // 3. train sample = labeled records ∪ seeded uniform sample
-    //    (reference train = pos ∪ neg ∪ unlabelled, initialize.py:100-115)
-    val train = trainSample(records, labels, cfg.trainN, cfg.seed)
-
-    // 4. learn blocking conjunctions (greedy DP, optimizers.py:73-99).
-    //    The learned list is itself a checkpointed stage: on resume the
-    //    (dominant-cost) DP search is skipped entirely.
+    // 3. learn blocking conjunctions (greedy DP, optimizers.py:73-99)
+    //    — stats evaluated on the FULL corpus with the real frequency
+    //    cap (see Learner scaladoc; labeled coverage joins touch only
+    //    the labeled slice). The learned list is itself a checkpointed
+    //    stage: on resume the (dominant-cost) DP search is skipped
+    //    entirely.
     import spark.implicits._
+    val nRecords = records.count()
     val conjunctions = staged("conjunctions", Seq("records")) {
-      val learner = new Learner(train, labels, cfg.blockingAttrs,
+      val learner = new Learner(records, labels, cfg.blockingAttrs,
         cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
       val learned = learner.learn()
       learner.unpersist()
@@ -138,7 +156,6 @@ object Dedupe {
     //    conjunctions are applied in chunks — one unioned Spark job +
     //    one count per chunk — preserving the best-first budget
     //    semantics at a fraction of the job count.
-    val nRecords = records.count()
     val admitted = applicableConjunctions(conjunctions, nRecords,
       cfg.maxCompare)
     require(admitted.nonEmpty,

@@ -55,6 +55,20 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dictionary-encoded path (forced) equals the direct string path " +
+    "and brute force") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(30)((f"n${rnd.nextInt(30)}%02d",
+      f"n${rnd.nextInt(30)}%02d")).filter(e => e._1 != e._2)
+    val df = edges.toDF("id_l", "id_r")
+    // encodeThreshold = 0 forces the dict-encode path a big graph takes
+    val (enc, encSteps) = ConnectedComponents.run(df, encodeThreshold = 0L)
+    val got = enc.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == bruteForce(edges))
+    assert(got == sparkCC(edges)) // direct path, same components
+    assert(encSteps.nonEmpty)
+  }
+
   test("reliable checkpoints produce identical components") {
     import spark.implicits._
     val dir = java.nio.file.Files
