@@ -151,6 +151,24 @@ final class Learner(
       .select((keep :+ col("_x")) :+ explode(col("_ks")).as("sigh"): _*)
   }
 
+  /** The surviving-block-size relation for one stats batch — exposed
+    * package-private so PlanAuditSpec can pin its shape (no Join, no
+    * Window anywhere: [[keyedRows]] is a pure projection and this adds
+    * one grouped count).
+    *
+    * `_n > 1`: singleton blocks are dropped before the persist — they
+    * contribute C(1,2) = 0 pairs, and a labeled pair BOTH of whose
+    * ends emit a key makes that key's global size ≥ 2, so no coverage
+    * can hide in a singleton. With n-gram schemes most compound keys
+    * are singletons; this shrinks the spilled block table by roughly
+    * that fraction.
+    */
+  private[graft] def statsPlan(base: Seq[String], exts: Seq[String]): DataFrame =
+    keyedRows(corpusSigs, base, exts, Nil)
+      .groupBy(col("_x"), col("sigh"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBlockSize)
+
   /** Optional progress logging (-Dgraft.verbose=true or GRAFT_VERBOSE=1). */
   private val verbose = sys.props.get("graft.verbose").contains("true") ||
     sys.env.get("GRAFT_VERBOSE").contains("1")
@@ -184,16 +202,7 @@ final class Learner(
       // table can be tens of millions of rows per batch, and pinning
       // one per DP step in executor memory (localCheckpoint) OOMed the
       // 8 GB test JVM halfway through the search
-      // _n > 1: singleton blocks are dropped before the persist — they
-      // contribute C(1,2) = 0 pairs, and a labeled pair BOTH of whose
-      // ends emit a key makes that key's global size ≥ 2, so no
-      // coverage can hide in a singleton. With n-gram schemes most
-      // compound keys are singletons; this shrinks the spilled block
-      // table by roughly that fraction.
-      val surviving = keyedRows(corpusSigs, base, missing, Nil)
-        .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("_n"))
-        .filter(col("_n") > 1 && col("_n") <= maxBlockSize)
+      val surviving = statsPlan(base, missing)
         .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val nPairsRows = surviving.groupBy(col("_x"))
         .agg(sum(col("_n") * (col("_n") - 1) / 2).cast("long").as("n"))

@@ -109,6 +109,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSuite {
     assert(q31.count() > 0)
   }
 
+  test("learner stats batch is map-only + one grouped count — " +
+    "no Join, no Window") {
+    val recs = Normalize.normalize(Transcripts.transcripts(spark, sfDir))
+    import spark.implicits._
+    val labels = Seq(("a", "b", 1)).toDF("id_l", "id_r", "label")
+    val learner = new graft.block.Learner(recs, labels,
+      graft.normalize.Normalize.blockingAttributes)
+    val full = learner.statsPlan(
+      Seq("first_nchars_4_head_text"), Seq("acronym_tool_set"))
+      .queryExecution.executedPlan.toString
+    learner.unpersist()
+    // audit only the batch plan ABOVE the cached signature table — the
+    // InMemoryRelation rendering includes its one-time child plan
+    // (normalize legitimately has a window + join)
+    val plan = full.split("InMemoryRelation")(0)
+    assert(plan.contains("InMemoryTableScan"),
+      s"stats batch does not read the cached signature table:\n$full")
+    assert(!plan.contains("Join"),
+      s"learner stats batch re-grew a corpus-scale join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"learner stats batch ranks via a window:\n$plan")
+  }
+
   test("zip-join and ordered-result plans carry no unpartitioned Window") {
     // q17/q48 rank via range-partitioned zipWithIndex — the plan must
     // not contain a WindowExec at all (an unpartitioned row_number
