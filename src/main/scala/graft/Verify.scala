@@ -27,11 +27,20 @@ object Verify {
       // instead of the oracle silently zipping against longer plane
       // lists and "passing" with wrong bits.
       if (only.forall(_.contains("q32_emb_lsh_pairs"))) {
-        val dim = spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .selectExpr("size(embedding)").head().getInt(0)
-        require(dim == 64,
-          s"embeddings dim=$dim but lshNearDupSql emits 64-dim planes — " +
-            "regenerate the oracle with lshNearDupSql(dim = actual)")
+        // an unreadable/empty embeddings table must NOT abort the whole
+        // dump — q32 alone will fail inside its own try below; only a
+        // READABLE corpus with the wrong dim (oracle would silently
+        // zip against longer plane lists and "pass" wrong) fails loud
+        val dim = try Some(spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .selectExpr("size(embedding)").head().getInt(0))
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] embeddings dim probe failed " +
+            s"(q32 will fail alone): ${e.getMessage}")
+          None
+        }
+        dim.foreach(d => require(d == 64,
+          s"embeddings dim=$d but lshNearDupSql emits 64-dim planes — " +
+            "regenerate the oracle with lshNearDupSql(dim = actual)"))
       }
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }

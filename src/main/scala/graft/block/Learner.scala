@@ -103,11 +103,13 @@ final class Learner(
 
   private val corpusSigs = sigTable(records).cache()
   // labeled-record slice of the corpus — both ends of every labeled
-  // pair; tiny next to the corpus, cached for the coverage joins
+  // pair; tiny next to the corpus, cached for the coverage joins.
+  // Semi-joined off the CACHED signature table so the tokenization /
+  // n-gram expressions never run a second time over records.
   private val labRecSigs = {
     val ids = labels.select(col("id_l").as(idCol))
       .unionByName(labels.select(col("id_r").as(idCol))).distinct()
-    sigTable(records.join(ids, Seq(idCol), "left_semi")).cache()
+    corpusSigs.join(ids, Seq(idCol), "left_semi").cache()
   }
   private lazy val nComparisons: Double = {
     val n = corpusSigs.count().toDouble

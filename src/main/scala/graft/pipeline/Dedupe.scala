@@ -27,7 +27,6 @@ import graft.synth.Transcripts
 object Dedupe {
 
   final case class Config(
-      trainN: Int = 400,
       k: Int = 3,
       seedRrCut: Double = 0.99,
       maxBlockSize: Int = Blocking.DefaultMaxBlockSize,

@@ -24,6 +24,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
   * Both are driven by MemoryStream in StreamingDedupeSpec — source/sink
   * plumbing is the caller's choice (`readStream.format("parquet")` on a
   * landing directory in production).
+  *
+  * STATE-SCHEMA COMPATIBILITY: the state case classes here (ConvState,
+  * SessState, BandState) are part of each query's CHECKPOINT format —
+  * changing their fields (as this library did when hardening replay
+  * idempotency and TTL monotonicity) breaks restart-from-checkpoint of
+  * a query started under the old schema. Upgrading a live query across
+  * such a change requires draining it and starting a fresh checkpoint
+  * (the standard Structured Streaming stateful-upgrade constraint).
   */
 object StreamingDedupe {
 
@@ -158,6 +166,11 @@ object StreamingDedupe {
 
   final case class BandedDoc(doc_id: Long, band: String,
                              ts: java.sql.Timestamp)
+  /** Bucket state: member ids + the max member event-time. `max_ms` is
+    * what makes the idle-TTL deadline MONOTONE: a late (within-
+    * watermark) OLDER arrival must not shorten an active bucket's
+    * timeout, so the deadline is always newest-member-ts + TTL. */
+  final case class BandState(members: Seq[Long], max_ms: Long)
   final case class CandidatePair(id_l: Long, id_r: Long, band: String)
 
   /** Streaming near-dup candidate generation — the LSH band join
@@ -200,15 +213,20 @@ object StreamingDedupe {
     val src = if (idleTtlMinutes.isDefined) docs.withWatermark("ts", watermark)
               else docs
     src.groupByKey(_.band)
-      .flatMapGroupsWithState[Seq[Long], CandidatePair](
+      .flatMapGroupsWithState[BandState, CandidatePair](
         org.apache.spark.sql.streaming.OutputMode.Append(), timeoutConf) {
-        case (band, events, state: GroupState[Seq[Long]]) =>
+        case (band, events, state: GroupState[BandState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
-            var members = state.getOption.getOrElse(Seq.empty)
-            var maxEventMs = Long.MinValue
+            val prev = state.getOption.getOrElse(
+              BandState(Seq.empty, Long.MinValue))
+            var members = prev.members
+            // deadline derives from the NEWEST member ever seen, not
+            // this batch's max: a late older arrival must never pull
+            // an active bucket's timeout earlier (premature eviction)
+            var maxEventMs = prev.max_ms
             val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
             events.foreach { e =>
               maxEventMs = math.max(maxEventMs, e.ts.getTime)
@@ -220,7 +238,7 @@ object StreamingDedupe {
                 members = members :+ e.doc_id
               }
             }
-            state.update(members)
+            state.update(BandState(members, maxEventMs))
             idleTtlMinutes.foreach { m =>
               state.setTimeoutTimestamp(math.max(
                 maxEventMs + m * 60000L,

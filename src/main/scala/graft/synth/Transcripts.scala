@@ -100,16 +100,19 @@ object Transcripts {
     */
   def readTurns(spark: SparkSession, path: String,
                 format: String = "auto"): DataFrame = {
+    // compression suffixes are transparent to the Spark CSV reader —
+    // strip them BEFORE extension sniffing so x.tsv.gz reads as a
+    // tab-separated file, not as parquet (and not with sep=",")
+    val base = path.stripSuffix(".gz").stripSuffix(".bz2").stripSuffix(".zst")
     val fmt =
       if (format != "auto") format
-      else if (path.endsWith(".csv") || path.endsWith(".csv.gz") ||
-               path.endsWith(".tsv")) "csv"
+      else if (base.endsWith(".csv") || base.endsWith(".tsv")) "csv"
       else "parquet"
     fmt match {
       case "csv" =>
         spark.read
           .option("header", "true")
-          .option("sep", if (path.endsWith(".tsv")) "\t" else ",")
+          .option("sep", if (base.endsWith(".tsv")) "\t" else ",")
           .schema(turnSchema)
           .csv(path)
       case "parquet" => spark.read.schema(turnSchema).parquet(path)

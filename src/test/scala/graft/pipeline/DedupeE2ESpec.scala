@@ -13,7 +13,7 @@ class DedupeE2ESpec extends AnyFunSuite with SparkSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("end-to-end dedupe reaches pairwise F1 >= 0.99 at sf0.001") {
-    val result = Dedupe.run(spark, sfDir, Dedupe.Config(trainN = 300))
+    val result = Dedupe.run(spark, sfDir, Dedupe.Config())
     val (f1, tp, fp, fn) = Dedupe.pairwiseF1(spark, sfDir, result.scored)
     info(s"f1=$f1 tp=$tp fp=$fp fn=$fn " +
       s"conjunctions=${result.conjunctions.take(3).map(_.conjunction)}")

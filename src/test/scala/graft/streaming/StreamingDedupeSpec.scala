@@ -195,6 +195,40 @@ class StreamingDedupeSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming band candidates: a late OLDER arrival does not " +
+    "shorten an active bucket's TTL deadline (monotone timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = MemoryStream[StreamingDedupe.BandedDoc]
+    val q = StreamingDedupe.streamingBandCandidates(source.toDS(),
+        bucketCap = 10, idleTtlMinutes = Some(30),
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("band_ttl_mono")
+      .outputMode("append").start()
+    try {
+      // bucket b1 = {1} at t+60 → deadline t+90
+      source.addData(StreamingDedupe.BandedDoc(1L, "b1", ts(60)))
+      q.processAllAvailable()
+      // LATE but within-watermark older member at t+5: with a
+      // batch-local deadline this would re-register the timeout at
+      // t+35; the deadline must stay keyed to the newest member (t+90)
+      source.addData(StreamingDedupe.BandedDoc(2L, "b1", ts(5)))
+      q.processAllAvailable()
+      // advance watermark to ~t+40 (160 - 120min delay) — past the
+      // WRONG deadline (t+35), before the correct one (t+90)
+      source.addData(StreamingDedupe.BandedDoc(50L, "other", ts(160)))
+      q.processAllAvailable()
+      source.addData(StreamingDedupe.BandedDoc(51L, "other", ts(161)))
+      q.processAllAvailable()
+      // bucket must still be alive: doc 3 pairs against BOTH members
+      source.addData(StreamingDedupe.BandedDoc(3L, "b1", ts(80)))
+      q.processAllAvailable()
+      val pairs = spark.table("band_ttl_mono").filter(col("band") === "b1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"late older arrival evicted a live bucket: got $pairs")
+    } finally q.stop()
+  }
+
   test("out-of-order arrival across microbatches still pins head/last " +
     "by turn_idx, and replayed turns don't double-count") {
     implicit val sqlCtx = spark.sqlContext
