@@ -52,6 +52,15 @@ object Bench {
 
     // ---- phase 1: ingest + normalize (cached once, like a real
     //      pipeline run) ----
+    // Shuffle width is PER-PHASE: the 4-tasks-per-core width set above
+    // suits the straggler-prone scoring kernel (similarity cost varies
+    // with text length; finer tasks rebalance), but normalize/blocking
+    // are uniform shuffle-bound stages that pay 4× width as pure task +
+    // spill-file overhead — same-epoch A/B on this box measured
+    // blocking 16–31 s at 1× vs 116 s at 4× under I/O-throttled
+    // co-tenancy, and ~30 vs ~40 s quiescent. Run them at 1×cores,
+    // restore 4× from hydration on.
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     val (records, tNormalize) = time {
       val r = Normalize.normalize(Transcripts.transcripts(spark, sfDir))
         .cache()
@@ -73,6 +82,8 @@ object Bench {
       p
     }
     val nPairs = allPairs.count()
+    // back to scoring width (see phase-1 note)
+    spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
     // deterministic 1-in-6 sample keeps the timed scoring pass at a
     // tractable wall time while staying compute-bound (throughput is
     // per-pair, so the rate is representative of the full set)
@@ -84,7 +95,12 @@ object Bench {
     //      reported separately — at cluster scale this is the
     //      co-partitioned pair⋈record join) ----
     val (hydrated, tHydration) = time {
+      // explicit 4-per-core width for the checkpoint the scoring kernel
+      // reads: AQE's size-based coalescing of the join output otherwise
+      // decides the scoring parallelism, and a coarse result makes the
+      // variable-cost similarity pass straggler-bound
       val h = Distances.hydrate(pairs, records, Distances.featureAttrs)
+        .repartition(cpus.toInt * 4)
         .localCheckpoint()
       h.count()
       h

@@ -179,11 +179,19 @@ object Dedupe {
     }
 
     // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard +
-    //    TF-IDF cosine — the north star's batched similarity vector)
+    //    TF-IDF cosine — the north star's batched similarity vector).
+    //    The TF-IDF weight/norm relations are corpus-scale token
+    //    aggregations shared by BOTH featurize call sites (candidate
+    //    pairs here, labeled training pairs in the classifier stage) —
+    //    computed once and cached, not re-tokenized per call.
+    val (tfW0, tfN0) = graft.sim.TfIdf.weights(records, "conv_id",
+      "full_text", graft.sim.TfIdf.DefaultMaxDf, Some(nRecords))
+    val tfW = tfW0.cache()
+    val tfN = tfN0.cache()
     def featurize(p: DataFrame): DataFrame =
       Distances.featuresFor(p, records, cfg.features)
-        .join(graft.sim.TfIdf.cosine(p.select("id_l", "id_r"), records,
-          nRecords = Some(nRecords)),
+        .join(graft.sim.TfIdf.cosineWith(p.select("id_l", "id_r"),
+          tfW, tfN),
           Seq("id_l", "id_r"))
     val allFeatureCols = cfg.features.map(_.colName) :+ "tfidf_cos"
     val feats = staged("features", Seq("pairs", "records")) {

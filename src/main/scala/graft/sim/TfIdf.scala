@@ -45,8 +45,12 @@ object TfIdf {
   /** (id, token, weight) + (id, norm) with integer-grid weights over
     * df-capped tokens. `nRecords` lets callers hoist the corpus count
     * (one driver action per pipeline run, not one per cosine() call).
+    * Package-visible so a pipeline scoring SEVERAL pair sets against
+    * one corpus (Dedupe.run: candidate pairs + labeled training pairs)
+    * computes and caches the corpus-scale token aggregation once and
+    * feeds [[cosineWith]], instead of re-tokenizing per call.
     */
-  private def weights(records: DataFrame, idCol: String, textCol: String,
+  private[graft] def weights(records: DataFrame, idCol: String, textCol: String,
                       maxDf: Long, nRecords: Option[Long]): (DataFrame, DataFrame) = {
     val toks = records.select(col(idCol).as("id"),
         explode(filter(split(col(textCol), " "), w => w =!= ""))
@@ -77,6 +81,13 @@ object TfIdf {
              maxDf: Long = DefaultMaxDf,
              nRecords: Option[Long] = None): DataFrame = {
     val (w, norms) = weights(records, idCol, textCol, maxDf, nRecords)
+    cosineWith(pairs, w, norms)
+  }
+
+  /** [[cosine]] against precomputed (and typically cached) weight /
+    * norm relations from [[weights]]. */
+  private[graft] def cosineWith(pairs: DataFrame, w: DataFrame,
+                                norms: DataFrame): DataFrame = {
     val dots = pairs
       .join(w.select(col("id").as("id_l"), col("token"),
         col("w").as("w_l")), "id_l")
