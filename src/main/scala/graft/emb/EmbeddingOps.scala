@@ -273,9 +273,12 @@ object EmbeddingOps {
     * encoded as the id of its nearest sub-codebook centroid, so the
     * corpus collapses to m small codes per vector (m bytes at k ≤ 256 —
     * 10^9 × 64-dim floats become 8 GB of codes). Queries score
-    * candidates by ADC (asymmetric distance): the EXACT distance from
-    * the query subvector to the candidate's centroid, summed over
-    * subspaces — never touching the original corpus vectors.
+    * candidates by ADC (asymmetric comparison): the query's EXACT
+    * per-subspace dot products against the candidate's centroids,
+    * assembled into cosine(query, reconstruction) — the same metric
+    * the brute-force ground truth ranks by — never touching the
+    * original corpus vectors. (Encoding stays per-subspace L2 argmin,
+    * the reconstruction-error objective.)
     *
     * Shape (shared with the DuckDB mirror): one `subdists` relation
     * d(vector, subspace, centroid) = integer L2² — built by a
@@ -312,6 +315,12 @@ object EmbeddingOps {
           explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
         .select(col("m"), col("cid"),
           slice(col("v"), start, subLen).as("cvsub")))
+    // per (vector, subspace, centroid): L2² (the ENCODER's argmin
+    // objective), the dot product, and the centroid's norm² — the
+    // latter two let ADC rank by COSINE against the reconstruction
+    // without touching original vectors. All three are sums of
+    // products of integer-valued doubles for the deterministic
+    // codebooks: exact, order-independent, engine-portable.
     def subdistsOf(vecs: DataFrame): DataFrame = vecs
       .select(col("vec_id"),
         explode(sequence(lit(0), lit(m - 1))).as("m"), col("v"))
@@ -321,7 +330,11 @@ object EmbeddingOps {
       .select(col("vec_id"), col("m"), col("cid"),
         aggregate(zip_with(col("vsub"), col("cvsub"),
           (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-          .as("d"))
+          .as("d"),
+        aggregate(zip_with(col("vsub"), col("cvsub"),
+          (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("dot"),
+        aggregate(col("cvsub"), lit(0.0d), (acc, x) => acc + x * x)
+          .as("cn2"))
     (d, subdistsOf)
   }
 
@@ -346,17 +359,29 @@ object EmbeddingOps {
     // ADC: query subdistance rows looked up by the candidate's code
     val qsub = subdistsOf(d.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("m"),
-        col("cid").as("code"), col("d"))
+        col("cid").as("code"), col("dot"), col("cn2"))
+    // ADC ranks by asymmetric COSINE — cos(query, reconstruction) =
+    // Σ_m dot(q_m, cb[m,code_m]) / (|q| · √Σ_m |cb[m,code_m]|²) — the
+    // same metric the brute-force ground truth ranks by (pure-L2 ADC
+    // on unnormalized vectors ranked by magnitude as much as
+    // direction: recall 0.29 vs cosine ground truth at sf0.01).
+    val qn = d.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
+          .as("qnorm"))
     val adc = codes
       .join(qsub, Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
-      .agg(sum(col("d")).cast("long").as("adc"))
+      .agg(sum(col("dot")).as("_dots"), sum(col("cn2")).as("_rn2"))
+      .join(broadcast(qn), "query_id")
+      .withColumn("adc_cos", q4(col("_dots") /
+        greatest(col("qnorm") * sqrt(col("_rn2")), lit(1.0e-12))))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc"), col("vec_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id"))
     adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
-      .select("query_id", "vec_id", "adc", "rank")
+      .select("query_id", "vec_id", "adc_cos", "rank")
   }
 
   def pqTopKSql(m: Int = 8, k: Int = 16,
@@ -374,7 +399,17 @@ object EmbeddingOps {
        |          (mm.m + 1) * (length(q.v) // $m)],
        |      c.cv[mm.m * (length(c.cv) // $m) + 1 :
        |           (mm.m + 1) * (length(c.cv) // $m)]),
-       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d,
+       |    list_sum(list_transform(list_zip(
+       |      q.v[mm.m * (length(q.v) // $m) + 1 :
+       |          (mm.m + 1) * (length(q.v) // $m)],
+       |      c.cv[mm.m * (length(c.cv) // $m) + 1 :
+       |           (mm.m + 1) * (length(c.cv) // $m)]),
+       |      p -> p[1] * p[2])) AS dot,
+       |    list_sum(list_transform(
+       |      c.cv[mm.m * (length(c.cv) // $m) + 1 :
+       |           (mm.m + 1) * (length(c.cv) // $m)],
+       |      x -> x * x)) AS cn2
        |  FROM quantized q
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm
        |  CROSS JOIN pqcbs c
@@ -388,18 +423,26 @@ object EmbeddingOps {
        |    ON s.vec_id = dm.vec_id AND s.m = dm.m AND s.d = dm.dm
        |  GROUP BY s.vec_id, s.m
        |),
+       |qnorms AS (
+       |  SELECT vec_id AS query_id,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm
+       |  FROM quantized WHERE vec_id < $nQueries
+       |),
        |pqadc AS (
        |  SELECT s.vec_id AS query_id, c.vec_id,
-       |    CAST(sum(s.d) AS BIGINT) AS adc
+       |    floor(sum(s.dot) /
+       |      greatest(any_value(qn.qnorm) * sqrt(sum(s.cn2)), 1e-12)
+       |      * 10000.0) / 10000.0 AS adc_cos
        |  FROM pqcodes c JOIN subdists s
        |    ON s.m = c.m AND s.cid = c.code AND s.vec_id < $nQueries
+       |  JOIN qnorms qn ON qn.query_id = s.vec_id
        |  WHERE c.vec_id != s.vec_id
        |  GROUP BY s.vec_id, c.vec_id
        |)
-       |SELECT query_id, vec_id, adc, rank FROM (
-       |  SELECT query_id, vec_id, adc,
+       |SELECT query_id, vec_id, adc_cos, rank FROM (
+       |  SELECT query_id, vec_id, adc_cos,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc, vec_id) AS INT) AS rank
+       |      ORDER BY adc_cos DESC, vec_id) AS INT) AS rank
        |  FROM pqadc)
        |WHERE rank <= $topK""".stripMargin
 
