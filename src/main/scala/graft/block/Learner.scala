@@ -70,7 +70,7 @@ final class Learner(
     seedRrCut: Double = 0.99,
     maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
     idCol: String = "conv_id",
-    maxDpSeeds: Int = 12) {
+    maxDpSeeds: Int = 8) {
 
   val schemes: Seq[BoundScheme] = Schemes.forAttributes(attrs)
   private val byName: Map[String, BoundScheme] =

@@ -41,6 +41,13 @@ object Dedupe {
       // (345 s of a 545 s sf0.1 run) for no estimate quality gain:
       // rr/coverage statistics converge with hundreds of labels.
       maxTrainLabels: Int = 2000,
+      // how many top-ranked seed schemes the DP refines (weaker passing
+      // seeds keep their depth-1 stats in the learned list) — each
+      // refined seed costs ~2 corpus-scale stats batches, and refining
+      // the tail seeds buys coverage the budget loop already has: at
+      // sf0.1 the 3 lowest-ranked of 12 seeds cost 128 s of the 205 s
+      // learner stage and changed nothing in the applied prefix
+      maxDpSeeds: Int = 8,
       seed: Long = 42L,
       useMlClassifier: Boolean = true,
       // which spark.ml algorithm backs the match classifier: logistic
@@ -138,7 +145,8 @@ object Dedupe {
     val nRecords = records.count()
     val conjunctions = staged("conjunctions", Seq("records")) {
       val learner = new Learner(records, labels, cfg.blockingAttrs,
-        cfg.k, cfg.seedRrCut, cfg.maxBlockSize)
+        cfg.k, cfg.seedRrCut, cfg.maxBlockSize,
+        maxDpSeeds = cfg.maxDpSeeds)
       val learned = learner.learn()
       learner.unpersist()
       learned.toDF()
