@@ -110,11 +110,7 @@ object EmbeddingOps {
        |cv AS (SELECT vec_id, $quantSql AS cv FROM embeddings),
        |scored AS (
        |  SELECT query_id, vec_id,
-       |    floor(list_sum(list_transform(list_zip(qv, cv),
-       |            p -> p[1] * p[2])) /
-       |      greatest(sqrt(list_sum(list_transform(qv, x -> x * x))) *
-       |               sqrt(list_sum(list_transform(cv, x -> x * x))), 1e-12)
-       |      * 10000.0) / 10000.0 AS cosine
+       |    ${cosineQSql("qv", "cv")} AS cosine
        |  FROM qv JOIN cv ON query_id != vec_id
        |)
        |SELECT query_id, vec_id, cosine, rank FROM (
@@ -165,9 +161,16 @@ object EmbeddingOps {
     // magnitude and recall collapses (measured at sf0.01: KMeans IVF
     // recall 0.625 under L2 assignment vs 0.9+ under cosine, at a
     // SMALLER scan fraction). Quantized (q4) like the ranking cosine,
-    // so the oracle mirror reproduces the argmin bit-exactly.
-    val dists = d.crossJoin(broadcast(cents))
-      .withColumn("dist", -cosineQ(col("v"), col("cv")))
+    // so the oracle mirror reproduces the argmin bit-exactly. Norms
+    // are precomputed ONCE per vector / per centroid (they're constant
+    // across the crossJoin's N×nCentroids pairs); sqrt-once yields the
+    // same IEEE double as sqrt-per-pair, so the argmin is unchanged.
+    val dn = d.withColumn("_vn", sqrt(norm2(col("v"))))
+    val cn = cents.withColumn("_cn", sqrt(norm2(col("cv"))))
+    val dists = dn.crossJoin(broadcast(cn))
+      .withColumn("dist", -q4(dot(col("v"), col("cv")) /
+        greatest(col("_vn") * col("_cn"), lit(1.0e-12))))
+      .drop("_vn", "_cn")
     // argmin per vector via min(struct): partial-aggregable, no window
     val cells = dists
       .groupBy(col("vec_id"), col("v"))
@@ -348,7 +351,11 @@ object EmbeddingOps {
     // never materialize N×m×k rows to extract nQueries of them (and in
     // a real deployment the codes themselves are the persisted table,
     // computed once at ingest)
-    val subdists = subdistsOf(d).localCheckpoint()
+    // encoder consumes ONLY the L2 column — project dot/cn2 away
+    // before persisting the corpus-wide relation (at 10^9 vectors the
+    // two unread doubles are terabytes of checkpoint)
+    val subdists = subdistsOf(d)
+      .select("vec_id", "m", "cid", "d").localCheckpoint()
     // encoder: argmin centroid per (vector, subspace), lowest cid wins
     // ties — grouped min then min-id, both partial-aggregable
     val dmin = subdists.groupBy("vec_id", "m").agg(min(col("d")).as("dm"))
@@ -367,8 +374,7 @@ object EmbeddingOps {
     // direction: recall 0.29 vs cosine ground truth at sf0.01).
     val qn = d.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
-        sqrt(aggregate(col("v"), lit(0.0d), (acc, x) => acc + x * x))
-          .as("qnorm"))
+        sqrt(norm2(col("v"))).as("qnorm"))
     val adc = codes
       .join(qsub, Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -399,7 +405,13 @@ object EmbeddingOps {
        |          (mm.m + 1) * (length(q.v) // $m)],
        |      c.cv[mm.m * (length(c.cv) // $m) + 1 :
        |           (mm.m + 1) * (length(c.cv) // $m)]),
-       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d,
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM quantized q
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm
+       |  CROSS JOIN pqcbs c
+       |),
+       |qsubd AS (
+       |  SELECT q.vec_id, mm.m, c.cid,
        |    list_sum(list_transform(list_zip(
        |      q.v[mm.m * (length(q.v) // $m) + 1 :
        |          (mm.m + 1) * (length(q.v) // $m)],
@@ -413,6 +425,7 @@ object EmbeddingOps {
        |  FROM quantized q
        |  CROSS JOIN (SELECT unnest(range(0, $m)) AS m) mm
        |  CROSS JOIN pqcbs c
+       |  WHERE q.vec_id < $nQueries
        |),
        |pqdmin AS (
        |  SELECT vec_id, m, min(d) AS dm FROM subdists GROUP BY vec_id, m
@@ -433,8 +446,8 @@ object EmbeddingOps {
        |    floor(sum(s.dot) /
        |      greatest(any_value(qn.qnorm) * sqrt(sum(s.cn2)), 1e-12)
        |      * 10000.0) / 10000.0 AS adc_cos
-       |  FROM pqcodes c JOIN subdists s
-       |    ON s.m = c.m AND s.cid = c.code AND s.vec_id < $nQueries
+       |  FROM pqcodes c JOIN qsubd s
+       |    ON s.m = c.m AND s.cid = c.code
        |  JOIN qnorms qn ON qn.query_id = s.vec_id
        |  WHERE c.vec_id != s.vec_id
        |  GROUP BY s.vec_id, c.vec_id
@@ -480,8 +493,7 @@ object EmbeddingOps {
     // assignment in ivfParts is cosine, which is norm-invariant, so
     // centroid scale is irrelevant downstream.)
     val feats = e.select(col("vec_id"), quant(col("embedding")).as("q"))
-      .withColumn("_n", sqrt(aggregate(col("q"), lit(0.0d),
-        (acc, x) => acc + x * x)))
+      .withColumn("_n", sqrt(norm2(col("q"))))
       .select(array_to_vector(transform(col("q"),
         x => x / greatest(col("_n"), lit(1.0e-12)))).as("features"))
     val model = new KMeans().setK(k).setSeed(seed).fit(feats)
@@ -642,12 +654,7 @@ object EmbeddingOps {
          |  FROM cap$b l JOIN cap$b r
          |  ON l.bucket = r.bucket AND l.vec_id < r.vec_id""".stripMargin
     }.mkString("\n  UNION\n  ")
-    val cos =
-      """floor(list_sum(list_transform(list_zip(a.v, b.v),
-        |          p -> p[1] * p[2])) /
-        |    greatest(sqrt(list_sum(list_transform(a.v, x -> x * x))) *
-        |             sqrt(list_sum(list_transform(b.v, x -> x * x))), 1e-12)
-        |    * 10000.0) / 10000.0""".stripMargin
+    val cos = cosineQSql("a.v", "b.v")
     s"""quantized AS (
        |  SELECT vec_id, $quantSql AS v FROM embeddings
        |),

@@ -77,9 +77,16 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
         .as("v"))
     val cents = d.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-    val l2 = aggregate(zip_with(col("v"), col("cv"),
-      (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-    val dists = d.crossJoin(broadcast(cents)).withColumn("dist", l2)
+    // the PRODUCTION assignment metric: negated quantized cosine
+    // (ivfParts) — including negative dist values so sign handling in
+    // the min-struct path is exercised
+    val dotC = aggregate(zip_with(col("v"), col("cv"),
+      (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def n2(c: org.apache.spark.sql.Column) =
+      aggregate(c, lit(0.0d), (acc, x) => acc + x * x)
+    val negCos = -(floor(dotC / greatest(sqrt(n2(col("v"))) *
+      sqrt(n2(col("cv"))), lit(1.0e-12)) * lit(10000.0)) / lit(10000.0))
+    val dists = d.crossJoin(broadcast(cents)).withColumn("dist", negCos)
     val viaWindow = dists.withColumn("rnk", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("cent_id"))))
