@@ -11,6 +11,15 @@ object Verify {
     val only = args.drop(2).find(_.startsWith("--only="))
       .map(_.stripPrefix("--only=").split(",").toSet)
     new java.io.File(outDir).mkdirs()
+    // q32's oracle SQL embeds a LITERAL plane matrix whose dim must
+    // match the corpus (the Spark side derives dim from the data and
+    // hard-fails on any mismatching row) — probe the corpus dim here
+    // and THREAD it into the emitted oracle, so a non-64-dim corpus
+    // gets a correct mirror instead of a refusal. An unreadable/empty
+    // embeddings table must NOT abort the whole dump — q32 alone fails
+    // inside its own try below, and the default-dim SQL it gets can't
+    // "pass wrong" against a table that doesn't read.
+    var derivedDim: Option[Int] = None
     if (!sqlOnly) {
       val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
       val spark = SparkSession.builder()
@@ -20,28 +29,14 @@ object Verify {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      // lshNearDupSql emits a LITERAL plane matrix for dim=64 while the
-      // Spark side derives dim from the data (and hard-fails on any
-      // mismatching row). Assert the corpus dim equals the SQL mirror's
-      // default HERE, so a non-64-dim corpus fails the dump loudly
-      // instead of the oracle silently zipping against longer plane
-      // lists and "passing" with wrong bits.
-      if (only.forall(_.contains("q32_emb_lsh_pairs"))) {
-        // an unreadable/empty embeddings table must NOT abort the whole
-        // dump — q32 alone will fail inside its own try below; only a
-        // READABLE corpus with the wrong dim (oracle would silently
-        // zip against longer plane lists and "pass" wrong) fails loud
-        val dim = try Some(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      derivedDim =
+        try Some(spark.read.parquet(s"$sfDir/embeddings.parquet")
           .selectExpr("size(embedding)").head().getInt(0))
         catch { case e: Throwable =>
           System.err.println(s"[verify] embeddings dim probe failed " +
-            s"(q32 will fail alone): ${e.getMessage}")
+            s"(q32 oracle keeps its default dim): ${e.getMessage}")
           None
         }
-        dim.foreach(d => require(d == 64,
-          s"embeddings dim=$d but lshNearDupSql emits 64-dim planes — " +
-            "regenerate the oracle with lshNearDupSql(dim = actual)"))
-      }
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>
@@ -65,7 +60,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val sqlMap = SparkEntry.oracleSql ++ derivedDim.map(d =>
+      "q32_emb_lsh_pairs" ->
+        ("WITH " + graft.emb.EmbeddingOps.lshNearDupSql(dim = d)))
+    val json = sqlMap
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

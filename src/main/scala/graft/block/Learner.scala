@@ -70,7 +70,7 @@ final class Learner(
     seedRrCut: Double = 0.99,
     maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
     idCol: String = "conv_id",
-    maxDpSeeds: Int = 8) {
+    maxCompare: Long = 1000000L) {
 
   val schemes: Seq[BoundScheme] = Schemes.forAttributes(attrs)
   private val byName: Map[String, BoundScheme] =
@@ -286,22 +286,57 @@ final class Learner(
   /** learner.py:51-67 `conjunctions_list`: DP from every seed, flatten,
     * dedupe, sort desc by (rr, positives, −negatives).
     */
+  /** The min_rr refusal threshold the budget loop will apply —
+    * `1 − maxCompare / C(n,2)` over the SAME corpus the stats are
+    * computed on ([[graft.pipeline.Dedupe.applicableConjunctions]],
+    * reference db/postgres/blocking.py:74-86).
+    */
+  def budgetMinRr: Double = 1.0 - maxCompare / math.max(nComparisons, 1.0)
+
+  /** Which passing seeds the DP refines — derived from the BUDGET MATH,
+    * not a rank count: a seed whose own depth-1 rr already clears the
+    * min_rr/max_compare refusal will itself be admitted and applied by
+    * the best-first budget loop, and every refinement `seed ∧ x` blocks
+    * a SUBSET of the seed's pairs — so its refinements can only re-add
+    * pairs the applied seed already contributes; refining it buys
+    * nothing. A seed BELOW the cutoff is refused outright at blocking
+    * time, and a blocking rule the budget already refused is not made
+    * admissible by narrowing it — its surviving sub-blocks are re-split
+    * slices of the same refused key space, the reference's semantics
+    * for everything past the first refusal (blocking.py:74-86 stops the
+    * whole loop there). Each skipped seed saves k−1 corpus-scale stats
+    * batches; the skipped seeds keep their depth-1 stats in the learned
+    * list, so the budget loop still sees them.
+    */
+  private[graft] def refinableSeeds(singles: Map[String, ConjStats]): Seq[String] = {
+    val minRr = budgetMinRr
+    schemes.map(_.name)
+      .filter { s =>
+        val st = singles(s); st.positives > 0 && st.rr >= seedRrCut
+      }
+      .filter(s => singles(s).rr >= minRr)
+      .sortBy(s => singles(s).key)(Ordering[(Double, Long, Long)].reverse)
+  }
+
   def learn(): Seq[ConjStats] = {
     val singles = scoreBatch(Nil, schemes.map(_.name))
+    // refine only the seeds the budget math says can matter (see
+    // [[refinableSeeds]]); the rest stay as their depth-1 selves.
+    // (The reference extends EVERY seed — one postgres query per
+    // candidate from a process pool, optimizers.py:73-99; at Spark
+    // batch costs a below-cutoff seed's refinements are corpus-scale
+    // work for conjunctions the budget loop then refuses.)
+    learnFrom(refinableSeeds(singles), singles)
+  }
+
+  /** DP from an explicit seed set (package-private so the seed-budget
+    * A/B tool and specs can compare selection policies on one shared
+    * stats cache). */
+  private[graft] def learnFrom(extendSeeds: Seq[String],
+                               singles: Map[String, ConjStats]): Seq[ConjStats] = {
     val passing = schemes.map(_.name).filter { s =>
       val st = singles(s); st.positives > 0 && st.rr >= seedRrCut
     }
-    // extend only the strongest maxDpSeeds seeds through the DP — each
-    // depth level of each seed is a corpus-scale stats batch; weaker
-    // passing seeds stay in the learned list as their depth-1 selves,
-    // so the best-first budget loop can still reach them, only their
-    // deeper refinements are skipped. (The reference extends EVERY
-    // seed — one postgres query per candidate from a process pool,
-    // optimizers.py:73-99; at Spark batch costs the tail seeds'
-    // refinements never alter the applied prefix of the list.)
-    val extendSeeds = passing
-      .sortBy(s => singles(s).key)(Ordering[(Double, Long, Long)].reverse)
-      .take(maxDpSeeds)
     val rest = passing.filterNot(extendSeeds.contains)
     (extendSeeds.flatMap(s => getBestFrom(s, singles)) ++
       rest.map(singles))

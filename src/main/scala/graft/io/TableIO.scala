@@ -33,16 +33,48 @@ final class TableIO(spark: SparkSession, root: String) {
   private def committed(stage: String): Boolean =
     fs.exists(new Path(path(stage), "_SUCCESS"))
 
+  private def identityPath(stage: String) = new Path(path(stage), "_identity")
+
+  private def readIdentity(stage: String): Option[String] = {
+    val p = identityPath(stage)
+    val f = fs
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def writeIdentity(stage: String, id: String): Unit = {
+    val out = fs.create(identityPath(stage), true)
+    try out.write(id.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run `compute` unless stage output already committed; either way
     * return the stage's DataFrame (read back from Parquet, so lineage
     * is cut at every stage boundary — cheap restarts, bounded plans).
+    *
+    * `identity` folds NON-INPUT determinants into the commit check: a
+    * stage whose output depends on config (the learner's k/seed/label
+    * cap, a threshold) records the identity string in an `_identity`
+    * sidecar at commit time, and a resumed run whose identity DIFFERS
+    * recomputes instead of silently reusing output produced under old
+    * settings. `None` keeps pure marker semantics (and accepts any
+    * previously committed output, whatever identity it recorded).
     */
-  def stage(name: String, inputs: Seq[String] = Nil)
+  def stage(name: String, inputs: Seq[String] = Nil,
+            identity: Option[String] = None)
            (compute: => DataFrame): DataFrame = {
-    if (!committed(name)) {
+    val fresh = !committed(name) ||
+      identity.exists(id => !readIdentity(name).contains(id))
+    if (fresh) {
       val t0 = System.nanoTime()
       val df = compute
       df.write.mode(SaveMode.Overwrite).parquet(path(name))
+      // after the parquet write: Overwrite clears the directory first
+      identity.foreach(writeIdentity(name, _))
       val wallMs = (System.nanoTime() - t0) / 1000000L
       appendLineage(name, inputs, wallMs)
     }

@@ -41,13 +41,6 @@ object Dedupe {
       // (345 s of a 545 s sf0.1 run) for no estimate quality gain:
       // rr/coverage statistics converge with hundreds of labels.
       maxTrainLabels: Int = 2000,
-      // how many top-ranked seed schemes the DP refines (weaker passing
-      // seeds keep their depth-1 stats in the learned list) — each
-      // refined seed costs ~2 corpus-scale stats batches, and refining
-      // the tail seeds buys coverage the budget loop already has: at
-      // sf0.1 the 3 lowest-ranked of 12 seeds cost 128 s of the 205 s
-      // learner stage and changed nothing in the applied prefix
-      maxDpSeeds: Int = 8,
       seed: Long = 42L,
       useMlClassifier: Boolean = true,
       // which spark.ml algorithm backs the match classifier: logistic
@@ -67,7 +60,15 @@ object Dedupe {
     * falls below 1 − maxCompare / C(n,2) would admit more than
     * maxCompare pairs on its own, so it — and everything after it in
     * the best-first list — is refused. (rr here is the learner's
-    * train-sample estimate, the same quantity the reference thresholds.)
+    * EXACT full-corpus statistic — Σ C(block,2) over cap-surviving
+    * blocks, [[graft.block.Learner]] — the same quantity the reference
+    * thresholds, computed on the whole data instead of a train sample.
+    * For n-gram schemes the learner's n_pairs counts a pair once per
+    * shared key — the induced join work, a documented upper bound — so
+    * an n-gram conjunction's rr here is ≤ the reference's distinct-pair
+    * rr and this stop refuses n-gram tails slightly EARLIER than
+    * upstream; tune maxCompare, not the counting, if that margin ever
+    * matters.)
     */
   def applicableConjunctions(conjunctions: Seq[ConjStats], nRecords: Long,
                              maxCompare: Long): Seq[ConjStats] = {
@@ -79,6 +80,9 @@ object Dedupe {
     }
   }
 
+  /** `ccSupersteps` is the connected-components convergence trail; it
+    * is EMPTY when the `clusters` stage was resumed from a committed
+    * checkpoint (the whole CC iteration is skipped on resume). */
   final case class Result(
       records: DataFrame,
       pairs: DataFrame,
@@ -107,12 +111,28 @@ object Dedupe {
       .dropDuplicates("conv_id")
   }
 
+  /** Stratified label cap (cfg.maxTrainLabels, half per class) via a
+    * seeded-md5 order: deterministic across runs/engines, balanced
+    * regardless of the corpus class ratio, TakeOrdered plan (no full
+    * sort). `maxTrainLabels <= 0` keeps every planted label.
+    */
+  private def sampledLabels(labelsAll: DataFrame, cfg: Config): DataFrame =
+    if (cfg.maxTrainLabels > 0) {
+      val perClass = math.max(cfg.maxTrainLabels / 2, 1)
+      def strat(v: Int) = labelsAll.filter(col("label") === v)
+        .orderBy(md5(concat(lit(s"${cfg.seed}:"), col("id_l"),
+          lit("|"), col("id_r"))), col("id_l"), col("id_r"))
+        .limit(perClass)
+      strat(1).unionByName(strat(0))
+    } else labelsAll
+
   def run(spark: SparkSession, sfDir: String, cfg: Config = Config(),
           workDir: Option[String] = None): Result = {
     val io = workDir.map(new TableIO(spark, _))
-    def staged(name: String, inputs: Seq[String])(f: => DataFrame): DataFrame =
+    def staged(name: String, inputs: Seq[String],
+               identity: Option[String] = None)(f: => DataFrame): DataFrame =
       io match {
-        case Some(t) => t.stage(name, inputs)(f)
+        case Some(t) => t.stage(name, inputs, identity)(f)
         case None => f
       }
 
@@ -125,15 +145,8 @@ object Dedupe {
     //    initialize.py:117-135 analog), capped per cfg.maxTrainLabels —
     //    md5-seeded per-class sample: deterministic across runs/engines
     //    and balanced (both classes survive whatever the corpus ratio)
-    val labelsAll = Labels.plantedLabels(spark, sfDir)
-    val labels = (if (cfg.maxTrainLabels > 0) {
-      val perClass = math.max(cfg.maxTrainLabels / 2, 1)
-      def strat(v: Int) = labelsAll.filter(col("label") === v)
-        .orderBy(md5(concat(lit(s"${cfg.seed}:"), col("id_l"),
-          lit("|"), col("id_r"))), col("id_l"), col("id_r"))
-        .limit(perClass)
-      strat(1).unionByName(strat(0))
-    } else labelsAll).cache()
+    val labels = sampledLabels(Labels.plantedLabels(spark, sfDir), cfg)
+      .cache()
 
     // 3. learn blocking conjunctions (greedy DP, optimizers.py:73-99)
     //    — stats evaluated on the FULL corpus with the real frequency
@@ -143,10 +156,32 @@ object Dedupe {
     //    entirely.
     import spark.implicits._
     val nRecords = records.count()
-    val conjunctions = staged("conjunctions", Seq("records")) {
+    // stage IDENTITY: every stage output depends on config knobs the
+    // _SUCCESS marker alone can't see, so each stage records a
+    // CUMULATIVE fingerprint (its own knobs + everything upstream) and
+    // a resumed run whose fingerprint differs recomputes from that
+    // stage DOWN — changing the learner seed on a reused workDir must
+    // not resume conjunctions learned under the old seed, and must not
+    // leave a recomputed conjunction list feeding stale committed
+    // pairs either.
+    val idConj = Seq(
+      s"k=${cfg.k}", s"seedRrCut=${cfg.seedRrCut}",
+      s"maxBlockSize=${cfg.maxBlockSize}",
+      s"maxTrainLabels=${cfg.maxTrainLabels}",
+      s"maxCompare=${cfg.maxCompare}", s"seed=${cfg.seed}",
+      s"attrs=${cfg.blockingAttrs.mkString("+")}").mkString(";")
+    val idPairs = idConj + s";nCovered=${cfg.nCovered}"
+    val idFeatures = idPairs + ";features=" +
+      cfg.features.map(f => s"${f.attr}:${f.metric}:${f.colName}")
+        .mkString("+")
+    val idScores = idFeatures +
+      s";ml=${cfg.useMlClassifier}:${cfg.classifier}"
+    val idClusters = idScores + s";threshold=${cfg.threshold}"
+    val conjunctions = staged("conjunctions", Seq("records"),
+      Some(idConj)) {
       val learner = new Learner(records, labels, cfg.blockingAttrs,
         cfg.k, cfg.seedRrCut, cfg.maxBlockSize,
-        maxDpSeeds = cfg.maxDpSeeds)
+        maxCompare = cfg.maxCompare)
       val learned = learner.learn()
       learner.unpersist()
       learned.toDF()
@@ -167,7 +202,7 @@ object Dedupe {
       cfg.maxCompare)
     require(admitted.nonEmpty,
       "min_rr stop refused every learned conjunction")
-    val pairs = staged("pairs", Seq("records")) {
+    val pairs = staged("pairs", Seq("records"), Some(idPairs)) {
       var acc: DataFrame = null
       var covered = 0L
       val chunks = admitted.grouped(8)
@@ -202,20 +237,28 @@ object Dedupe {
           tfW, tfN),
           Seq("id_l", "id_r"))
     val allFeatureCols = cfg.features.map(_.colName) :+ "tfidf_cos"
-    val feats = staged("features", Seq("pairs", "records")) {
+    val feats = staged("features", Seq("pairs", "records"),
+      Some(idFeatures)) {
       featurize(pairs)
     }
 
     // 7. score: logistic classifier trained on the labeled pairs
     //    (M2/M3) or the deterministic rule score
-    val scored = staged("scores", Seq("features")) {
+    val scored0 = staged("scores", Seq("features"), Some(idScores)) {
       if (cfg.useMlClassifier) {
         // model persistence (reference joblib dump/reload,
         // fapi.py:161-176): with a workDir the fitted model is saved
-        // under <workDir>/model and a resumed run LOADS it instead of
-        // retraining.
+        // under <workDir>/model_<fingerprint> and a resumed run LOADS
+        // it instead of retraining. The fingerprint keys the model dir
+        // by the same cumulative config identity as the scores stage,
+        // so a config change retrains instead of loading a model
+        // fitted under old settings.
+        val modelDir = workDir.map(_ + "/model_" +
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(idScores.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(12))
         val model = MatchClassifier.trainOrLoad(
-          workDir.map(_ + "/model"), allFeatureCols, cfg.classifier) {
+          modelDir, allFeatureCols, cfg.classifier) {
           featurize(labels.select("id_l", "id_r"))
             .join(labels, Seq("id_l", "id_r"))
         }
@@ -224,11 +267,29 @@ object Dedupe {
         Distances.ruleScore(feats).select("id_l", "id_r", "score")
       }
     }
+    // with a workDir the stage boundary already cut the lineage (scores
+    // re-read from parquet); in-memory, materialize scored (bounded by
+    // the pair budget) so the corpus-scale TF-IDF caches below can be
+    // RELEASED without later actions on `Result.scored` re-tokenizing
+    // the corpus — repeated Dedupe.run calls on one long-lived session
+    // must not accumulate pinned corpus-scale relations
+    val scored = if (io.isEmpty) scored0.localCheckpoint() else scored0
+    tfW.unpersist()
+    tfN.unpersist()
+    labels.unpersist()
 
-    // 8. threshold → edges → connected components (C1) + singletons (U3)
-    val edges = scored.filter(col("score") > cfg.threshold)
-    val (components, steps) = ConnectedComponents.run(edges)
-    val clusters = staged("clusters", Seq("scores", "records")) {
+    // 8. threshold → edges → connected components (C1) + singletons
+    //    (U3) — ALL inside the staged block: CC's convergence loop
+    //    issues its own actions, so it must only run when the stage
+    //    actually computes; a RESUMED run with a committed `clusters`
+    //    output skips the whole O(log n)-shuffle iteration (at 10⁹
+    //    edges CC is the pipeline's most expensive resumable stage).
+    var steps: Seq[ConnectedComponents.Superstep] = Seq.empty
+    val clusters = staged("clusters", Seq("scores", "records"),
+      Some(idClusters)) {
+      val edges = scored.filter(col("score") > cfg.threshold)
+      val (components, ccSteps) = ConnectedComponents.run(edges)
+      steps = ccSteps
       val singles = records.select(col("conv_id"))
         .join(components.select(col("id").as("conv_id")),
           Seq("conv_id"), "left_anti")

@@ -191,9 +191,13 @@ object StreamingDedupe {
     * batch backfill (minhashPairs et al.), the standard lambda split
     * for streaming LSH.
     *
-    * `idleTtlMinutes = None` (default) keeps NoTimeout semantics: no
+    * The TTL is ON BY DEFAULT (6 h): an unbounded-state default is the
+    * wrong failure mode for a caller who never read this paragraph —
+    * state must be bounded unless someone explicitly opts out.
+    * `idleTtlMinutes = None` is that opt-out (NoTimeout semantics: no
     * eviction, bucket count grows with distinct band keys — acceptable
-    * only when the band-key space is bounded. The TTL is EVENT-time,
+    * only when the band-key space is provably bounded, e.g. a fixed
+    * SimHash mask domain). The TTL is EVENT-time,
     * not processing-time, deliberately: processing-time timeouts force
     * the micro-batch engine into a continuous loop of no-data batches
     * to fire expirations (observed here: hundreds of empty batches per
@@ -205,7 +209,7 @@ object StreamingDedupe {
     */
   def streamingBandCandidates(docs: Dataset[BandedDoc],
                               bucketCap: Int = 200,
-                              idleTtlMinutes: Option[Int] = None,
+                              idleTtlMinutes: Option[Int] = Some(360),
                               watermark: String = "1 hour"): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     val timeoutConf = if (idleTtlMinutes.isDefined)

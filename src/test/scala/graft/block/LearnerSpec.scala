@@ -58,6 +58,36 @@ class LearnerSpec extends AnyFunSuite with SparkSuite {
     assert(learner(seedCut = 0.99).learn().isEmpty)
   }
 
+  test("budget-derived DP seed skip: a below-min_rr seed keeps its " +
+    "depth-1 stats but is never refined") {
+    // maxCompare = 1 over C(6,2) = 15 comparisons ⇒ min_rr = 14/15: the
+    // budget loop will refuse any conjunction admitting > 1 pair, so
+    // the DP must not spend corpus-scale batches refining seeds the
+    // budget already refuses at depth 1
+    val l = new Learner(train, labels, Seq("head_text"), k = 2,
+      seedRrCut = 0.0, maxBlockSize = 100, maxCompare = 1L)
+    val singles = l.scoreBatch(Nil, l.schemes.map(_.name))
+    assert(math.abs(l.budgetMinRr - 14.0 / 15.0) < 1e-12)
+    // find_ngrams_4 over head_text: r1/r2 share 7 four-gram keys ⇒
+    // n_pairs = 7 (join-work counting) ⇒ rr = 8/15 < min_rr: covered
+    // (positives = 1) but refused by the budget at depth 1
+    val refused = "find_ngrams_4_head_text"
+    assert(singles(refused).positives > 0 &&
+      singles(refused).rr < l.budgetMinRr)
+    val refinable = l.refinableSeeds(singles)
+    assert(!refinable.contains(refused),
+      "below-min_rr seed must be skipped for the BUDGET reason")
+    // exactmatch admits exactly 1 pair ⇒ rr = 14/15 = min_rr: refinable
+    assert(refinable.contains("exactmatch_head_text"))
+    val conjs = l.learn()
+    // the refused seed survives at depth 1 (the learned list still
+    // carries its stats)...
+    assert(conjs.exists(_.conjunction == Seq(refused)))
+    // ...but no DP chain was seeded from it
+    assert(conjs.filter(_.conjunction.size > 1)
+      .forall(_.conjunction.head != refused))
+  }
+
   test("ngram constraint: conjunctions never contain 2 ngram schemes") {
     val conjs = learner().learn()
     conjs.foreach { c =>

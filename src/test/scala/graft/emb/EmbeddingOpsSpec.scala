@@ -136,6 +136,28 @@ class EmbeddingOpsSpec extends AnyFunSuite with SparkSuite {
     assert(ex.getMessage != null)
   }
 
+  test("LSH oracle builder follows a non-64-dim corpus: the derived dim " +
+    "threads into the plane literals") {
+    // a dim-8 corpus runs through the Spark op (dim derived from data)
+    val small = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 8).as("embedding"))
+    EmbeddingOps.lshNearDup(small, bits = 16, threshold = 0.0).count()
+    // and the SQL mirror built with the SAME derived dim emits plane
+    // literals of exactly that width, with the identical sign matrix
+    // the Spark side projects with (Verify threads the probe result
+    // into lshNearDupSql(dim = actual))
+    val sql = EmbeddingOps.lshNearDupSql(bits = 16, dim = 8)
+    val lists = """\[(?:-?1\.0(?:, )?)+\]""".r.findAllIn(sql).toSeq
+    assert(lists.size == 16, s"expected 16 plane literals, got ${lists.size}")
+    val signs = EmbeddingOps.planeSigns(16, 8)
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val parsed = l.stripPrefix("[").stripSuffix("]")
+        .split(", ").map(_.toDouble).toSeq
+      assert(parsed.length == 8, s"plane $i has dim ${parsed.length}")
+      assert(parsed == signs(i).toSeq, s"plane $i signs differ from Spark")
+    }
+  }
+
   test("PQ/ADC: dense ranks, cosine-bounded monotone-descending scores, " +
     "and positive recall vs brute force") {
     val r = EmbeddingOps.pqTopK(emb, nQueries = 4, topK = 5).collect()

@@ -49,6 +49,22 @@ class TableIOSpec extends AnyFunSuite with SparkSuite {
     assert(n == 2, "invalidate() silently no-opped on the file:-scheme root")
   }
 
+  test("stage identity: matching identity resumes, changed identity " +
+    "recomputes, None accepts any committed output") {
+    val (io, _) = freshIO()
+    var n = 0
+    def compute = { n += 1; Seq(n).toDF("v") }
+    io.stage("s", Nil, Some("cfg=a"))(compute)
+    io.stage("s", Nil, Some("cfg=a"))(compute)
+    assert(n == 1, "same identity must resume from the committed output")
+    // config change on a reused workDir: silently resuming output
+    // produced under the old settings is the bug this guards
+    io.stage("s", Nil, Some("cfg=b"))(compute)
+    assert(n == 2, "changed identity must force a recompute")
+    io.stage("s", Nil, None)(compute)
+    assert(n == 2, "None identity accepts whatever is committed")
+  }
+
   test("lineage rows record stage metrics") {
     val (io, _) = freshIO()
     io.stage("alpha", Seq("in1"))(Seq(1, 2, 3).toDF("v"))

@@ -31,6 +31,25 @@ class DedupeE2ESpec extends AnyFunSuite with SparkSuite {
     assert(result.ccSupersteps.size >= 2)
   }
 
+  test("resume: a committed clusters stage skips the CC iteration " +
+    "entirely and returns identical clusters") {
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_dedupe_resume").toString
+    val first = Dedupe.run(spark, sfDir, Dedupe.Config(), Some(workDir))
+    // cold run executed CC: superstep trail is non-trivial
+    assert(first.ccSupersteps.size >= 2)
+    val firstClusters = first.clusters.orderBy("id").collect().toSeq
+
+    val resumed = Dedupe.run(spark, sfDir, Dedupe.Config(), Some(workDir))
+    // CC's convergence loop runs INSIDE staged("clusters"): on resume
+    // the committed output is read back and the iteration never runs —
+    // the trail (only populated by an actual ConnectedComponents.run
+    // call) must be empty
+    assert(resumed.ccSupersteps.isEmpty,
+      "resumed run re-executed the connected-components iteration")
+    assert(resumed.clusters.orderBy("id").collect().toSeq == firstClusters)
+  }
+
   test("random_forest classifier reaches the same F1 gate (fixed blocking)") {
     import graft.block.{Blocking, BoundScheme, FirstNChars, Labels}
     import graft.ml.MatchClassifier
