@@ -22,6 +22,18 @@ import graft.synth.Transcripts
   * costs are not the quantity that scales with executors).
   */
 object Bench {
+  /** Quiescent 32-thread [[CpuControl.measure]] rate on the bench box
+    * (xorshift steps/sec), pinned from `sbt "runMain graft.CpuControl"`
+    * at loadavg ≤ 0.5 — the denominator of `cpu_control_ratio` in the
+    * bench JSON. Calibration 2026-08-17: quiescent max-of-3 windows
+    * ranged 1.08e10–1.36e10 across five back-to-back measurements
+    * (burstable/steal-prone host even when idle); the constant is the
+    * mid-band, and the degraded threshold (0.85) sits below the
+    * quiescent floor so only genuine co-tenant epochs trip the retry.
+    * Re-pin after any hardware change.
+    */
+  final val QuiescentCtrlOps: Double = 1.25e10
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +61,16 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     } catch { case _: Throwable => -1.0 }
     val loadavgStart = readLoadavg()
+
+    // ---- Spark-free CPU control (see CpuControl scaladoc): the box
+    //      drifts by epoch invisibly to loadavg, so the artifact
+    //      carries its own machine-attribution. Measured before the
+    //      first timed phase and again right after the last scoring
+    //      pass; if either is >15% below the quiescent reference the
+    //      scoring pass is RETRIED once (best-of-three) and the
+    //      artifact self-reports epoch_degraded=true. ----
+    val ctrlThreads = cpus.toInt
+    val ctrlBefore = CpuControl.measure(ctrlThreads)
 
     // ---- phase 1: ingest + normalize (cached once, like a real
     //      pipeline run) ----
@@ -142,7 +164,28 @@ object Bench {
 
     // second headline pass (see above)
     val (_, tScoring2) = time { evalScored(hydrated) }
-    val tScoring = math.min(tScoring1, tScoring2)
+    val ctrlAfter = CpuControl.measure(ctrlThreads)
+    // quiescent reference: this box, local[32]-epoch with loadavg ≤ 2,
+    // re-pinnable via `sbt "runMain graft.CpuControl"` (keep the
+    // constant in sync after any hardware change)
+    // a dip in EITHER control buys one more scoring pass + control
+    // (cheap insurance); the final degraded verdict asks whether a
+    // healthy CPU rate was available at ANY point in the window — if
+    // yes, the best-of-N scoring pass had its chance at that healthy
+    // moment and the headline stands un-degraded (transient dips right
+    // after a Spark action — GC, executor-pool wind-down — must not
+    // stamp a quiescent artifact as a degraded epoch)
+    val retryNeeded =
+      math.min(ctrlBefore, ctrlAfter) / QuiescentCtrlOps < 0.85
+    val (tScoring3, ctrlRetry) = if (retryNeeded) {
+      val (_, t3) = time { evalScored(hydrated) }
+      (t3, CpuControl.measure(ctrlThreads))
+    } else (-1.0, -1.0)
+    val ctrlBest = Seq(ctrlBefore, ctrlAfter, ctrlRetry).max
+    val ctrlRatio = ctrlBest / QuiescentCtrlOps
+    val degraded = ctrlRatio < 0.85
+    val tScoring = (Seq(tScoring1, tScoring2) ++
+      (if (retryNeeded) Seq(tScoring3) else Nil)).min
     val pps = nScored / tScoring
 
     // ---- e2e LEARNED pipeline at the bench SF: the greedy-DP
@@ -175,7 +218,8 @@ object Bench {
     val results = results0 ++ Seq("normalize" -> tNormalize,
       "blocking" -> tBlocking, "hydration" -> tHydration,
       "scoring" -> tScoring, "scoring_pass1" -> tScoring1,
-      "scoring_pass2" -> tScoring2)
+      "scoring_pass2" -> tScoring2) ++
+      (if (retryNeeded) Seq("scoring_pass3" -> tScoring3) else Nil)
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
@@ -183,17 +227,28 @@ object Bench {
     // counted once at its best-of-two value (the raw passes are
     // diagnostics, not additional work a pipeline run would do)
     val total = results
-      .filterNot(r => r._1 == "scoring_pass1" || r._1 == "scoring_pass2")
+      .filterNot(r => r._1.startsWith("scoring_pass"))
       .map(_._2).sum
     // environment diagnostics: expose co-tenant load at measurement time
     // (round-1 reproducibility gap) — 1-minute loadavg at start AND end
     val loadavg = readLoadavg()
     val heapGb = Runtime.getRuntime.maxMemory / (1024.0 * 1024 * 1024)
+    // value stays the RAW measured rate; value_cpu_normalized divides
+    // by the control ratio (capped at 1 — a better-than-reference epoch
+    // must not deflate the number) so a degraded-epoch artifact also
+    // carries the machine-attributed estimate of the quiescent rate
+    val ppsNorm = pps / math.min(1.0, ctrlRatio)
     val json = s"""{"metric":"pairs_scored_per_sec","value":$pps,""" +
       s""""unit":"pairs/sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
       s""""pairs_scored":$nScored,"n_pairs":$nPairs,"score_sum":$scoreSum,""" +
       s""""scoring_sec":$tScoring,"e2e_learned_sec":$tE2eLearned,""" +
       s""""total_sec":$total,""" +
+      s""""cpu_control_before":$ctrlBefore,"cpu_control_after":$ctrlAfter,""" +
+      s""""cpu_control_retry":$ctrlRetry,""" +
+      s""""cpu_control_ops_per_sec":$ctrlBest,""" +
+      s""""cpu_control_quiescent_ref":$QuiescentCtrlOps,""" +
+      s""""cpu_control_ratio":$ctrlRatio,"epoch_degraded":$degraded,""" +
+      s""""value_cpu_normalized":$ppsNorm,""" +
       s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
       s""""heap_gb":${math.round(heapGb * 10) / 10.0}}"""
     // stdout for the driver's line parser (build.sbt forwards forked

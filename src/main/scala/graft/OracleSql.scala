@@ -145,6 +145,118 @@ object OracleSql {
       .foldLeft(featureSelect + ",\n" + ruleScoreCte)(renameIdent)
   }
 
+  /** Full DuckDB mirror of the three alignment DPs (q49): NW (via
+    * LCS), SW, and SW-Gotoh over `head_text` of the labeled pairs —
+    * the DP matrices evaluated along ANTI-DIAGONALS by a recursive
+    * CTE. On diagonal d (cells i+j = d) every entry depends only on
+    * diagonals d−1 and d−2 — including Gotoh's affine E/F gap states,
+    * whose recurrences read only (i,j−1) and (i−1,j) — so each
+    * recursion step computes one whole diagonal with pure elementwise
+    * list comprehensions (no within-step dependency), depth m+n,
+    * O(m·n) total per pair. Every diagonal is stored as a fixed
+    * (m+1)-list indexed by row i (cell (i, d−i); NULL where d−i is
+    * outside 0..n), so neighbor positions are just i and i+1 in the
+    * previous lists.
+    *
+    * Exactness: all three kernels combine only dyadic-rational
+    * constants (±1, ±2, −0.5, −1e18) by add/max — every intermediate
+    * is exactly representable, and the final single division matches
+    * [[graft.sim.Alignment]] bit-for-bit, so the driver's hash compare
+    * is exact, not approximate. Sentinel −1e18 follows the kernel's
+    * NegInf: |x| ≫ 2^53 absorbs the −0.5 gap-extend in BOTH engines.
+    */
+  def alignmentOracle: String = {
+    val ctes = Seq(
+      labelsCte,
+      """hyd AS (
+        |  SELECT p.id_l, p.id_r,
+        |         string_split(l.head_text, '') AS ca,
+        |         string_split(r.head_text, '') AS cb,
+        |         length(l.head_text) AS m, length(r.head_text) AS n
+        |  FROM (SELECT id_l, id_r FROM labels) p
+        |  JOIN normalized l ON p.id_l = l.conv_id
+        |  JOIN normalized r ON p.id_r = r.conv_id
+        |)""".stripMargin,
+      // recursion state per pair: current diagonal number d plus, for
+      // each kernel, its last two diagonals (lc/sw/h) or last one
+      // (e/f), and the running local-alignment maxima (swbest/hbest)
+      """align AS (
+        |  SELECT id_l, id_r, ca, cb, m, n, 1 AS d,
+        |    [CASE WHEN 1 - i BETWEEN 0 AND n THEN 0 END FOR i IN range(0, m + 1)] AS lc1,
+        |    [CASE WHEN 0 - i BETWEEN 0 AND n THEN 0 END FOR i IN range(0, m + 1)] AS lc2,
+        |    [CASE WHEN 1 - i BETWEEN 0 AND n THEN 0 END FOR i IN range(0, m + 1)] AS sw1,
+        |    [CASE WHEN 0 - i BETWEEN 0 AND n THEN 0 END FOR i IN range(0, m + 1)] AS sw2,
+        |    0 AS swbest,
+        |    [CASE WHEN 1 - i BETWEEN 0 AND n THEN 0.0::DOUBLE END FOR i IN range(0, m + 1)] AS h1,
+        |    [CASE WHEN 0 - i BETWEEN 0 AND n THEN 0.0::DOUBLE END FOR i IN range(0, m + 1)] AS h2,
+        |    [CASE WHEN 1 - i BETWEEN 0 AND n THEN -1e18::DOUBLE END FOR i IN range(0, m + 1)] AS e1,
+        |    [CASE WHEN 1 - i BETWEEN 0 AND n THEN -1e18::DOUBLE END FOR i IN range(0, m + 1)] AS f1,
+        |    0.0::DOUBLE AS hbest
+        |  FROM hyd WHERE m > 0 AND n > 0
+        |  UNION ALL
+        |  SELECT id_l, id_r, ca, cb, m, n, d + 1,
+        |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
+        |            ELSE greatest(lc1[i], lc1[i + 1],
+        |                          lc2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 1 ELSE 0 END)
+        |       END END FOR i IN range(0, m + 1)] AS lc1n,
+        |    lc1,
+        |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
+        |            ELSE greatest(0,
+        |                          sw2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2 ELSE -1 END,
+        |                          sw1[i] - 1, sw1[i + 1] - 1)
+        |       END END FOR i IN range(0, m + 1)] AS sw1n,
+        |    sw1,
+        |    greatest(swbest, coalesce(list_aggregate(
+        |      [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |         CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
+        |              ELSE greatest(0,
+        |                            sw2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2 ELSE -1 END,
+        |                            sw1[i] - 1, sw1[i + 1] - 1)
+        |         END END FOR i IN range(0, m + 1)], 'max'), 0)) AS swbestn,
+        |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0.0::DOUBLE
+        |            ELSE greatest(0.0,
+        |                   h2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2.0::DOUBLE ELSE -1.0::DOUBLE END,
+        |                   greatest(h1[i + 1] - 2.0, e1[i + 1] - 0.5),
+        |                   greatest(h1[i] - 2.0, f1[i] - 0.5))
+        |       END END FOR i IN range(0, m + 1)] AS h1n,
+        |    h1,
+        |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN -1e18::DOUBLE
+        |            ELSE greatest(h1[i + 1] - 2.0, e1[i + 1] - 0.5)
+        |       END END FOR i IN range(0, m + 1)] AS e1n,
+        |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN -1e18::DOUBLE
+        |            ELSE greatest(h1[i] - 2.0, f1[i] - 0.5)
+        |       END END FOR i IN range(0, m + 1)] AS f1n,
+        |    greatest(hbest, coalesce(list_aggregate(
+        |      [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
+        |         CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0.0::DOUBLE
+        |              ELSE greatest(0.0,
+        |                     h2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2.0::DOUBLE ELSE -1.0::DOUBLE END,
+        |                     greatest(h1[i + 1] - 2.0, e1[i + 1] - 0.5),
+        |                     greatest(h1[i] - 2.0, f1[i] - 0.5))
+        |         END END FOR i IN range(0, m + 1)], 'max'), 0.0::DOUBLE)) AS hbestn
+        |  FROM align WHERE d < m + n
+        |)""".stripMargin)
+    val select =
+      """SELECT id_l, id_r,
+        |  floor((2.0 * lc1[m + 1] / (m + n)) * 10000.0) / 10000.0 AS nw_head_text,
+        |  floor((CAST(swbest AS DOUBLE) / (2.0 * least(m, n))) * 10000.0) / 10000.0 AS sw_head_text,
+        |  floor((hbest / (2.0 * least(m, n))) * 10000.0) / 10000.0 AS swg_head_text
+        |FROM align WHERE d = m + n
+        |UNION ALL
+        |SELECT id_l, id_r,
+        |  CASE WHEN m = 0 AND n = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END,
+        |  CASE WHEN m = 0 AND n = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END,
+        |  CASE WHEN m = 0 AND n = 0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+        |FROM hyd WHERE m = 0 OR n = 0""".stripMargin
+    materialize(withNormalized(ctes, select), Seq("normalized", "hyd"))
+      .replaceFirst("^WITH ", "WITH RECURSIVE ")
+  }
+
   /** the recursive min-propagation walk over `<p>edges(id_l, id_r)` →
     * `<p>comp(id, component)` — name-parameterized so one query can
     * run several independent connected-components passes. */

@@ -201,9 +201,10 @@ object SparkEntry {
         Distances.metricMenu.map(m => Distances.AttrSim("head_text", m)))),
 
     // M1 menu, alignment tail: NW / SW / SW-Gotoh codegen'd DP
-    // expressions — DuckDB has no alignment functions, so no oracleSql
-    // entry (driver records the rows-only check); kernels are
-    // golden-tested in AlignmentSpec
+    // expressions — DuckDB has no alignment builtins, so the oracle
+    // (OracleSql.alignmentOracle) evaluates the DP matrices itself via
+    // an anti-diagonal recursive CTE, exact to the bit; kernels are
+    // additionally golden-tested in AlignmentSpec
     "q49_alignment" -> ((s, dir) =>
       Distances.featuresFor(
         Labels.plantedLabels(s, dir).select("id_l", "id_r"),
@@ -653,6 +654,8 @@ object SparkEntry {
       "SELECT id_l, id_r,\n" + Distances.metricMenu.map(m =>
         s"  floor((${Distances.metricSql(m, "a", "b")}) * 10000.0) / 10000.0" +
           s" AS ${m}_head_text").mkString(",\n") + "\nFROM hyd"),
+
+    "q49_alignment" -> OracleSql.alignmentOracle,
 
     "q50_sorted_neighborhood" -> OracleSql.withNormalized(
       Seq("""ranked AS (

@@ -13,9 +13,11 @@ import org.apache.spark.sql.classic.GraftBridge
   * DPs over the char sequences, implemented as codegen'd Catalyst
   * expressions with two rolling rows of thread-local scratch (same
   * no-per-call-allocation discipline as the JaroWinkler kernel).
-  * DuckDB has no alignment functions, so these are golden-tested in
-  * AlignmentSpec rather than oracle-mirrored (their query gets the
-  * driver's rows-only check).
+  * DuckDB has no alignment builtins, so the oracle mirror
+  * ([[graft.OracleSql.alignmentOracle]]) evaluates the same DPs via an
+  * anti-diagonal recursive CTE (bit-exact: all intermediates are
+  * dyadic rationals); the kernels are additionally golden-tested in
+  * AlignmentSpec.
   *
   * Conventions (documented, normalized to [0, 1]):
   *   - nw:  global alignment with unit indel cost and substitution

@@ -50,10 +50,11 @@ object Distances {
 
   /** Distance-metric menu (the pg_similarity family the reference
     * documents, docs distance.md — all 17): `metricMenu` holds the 14
-    * metrics with an exact DuckDB SQL mirror (oracle-checked in q37);
+    * metrics with a scalar DuckDB SQL mirror (oracle-checked in q37);
     * `alignmentMenu` holds the 3 O(n·m) alignment DPs (codegen'd
-    * Catalyst expressions, golden-tested; not SQL-expressible in
-    * DuckDB, so their query q49 gets the driver's rows-only check). */
+    * Catalyst expressions, golden-tested in AlignmentSpec AND
+    * oracle-checked in q49 via OracleSql.alignmentOracle's
+    * anti-diagonal recursive-CTE DP — no scalar metricSql form). */
   val metricMenu: Seq[String] =
     Seq("jw", "jaro", "lev", "jaccard", "dice", "overlap", "cosine",
       "hamming", "monge_elkan", "matching", "l1", "euclidean", "qgram",
