@@ -22,17 +22,23 @@ import graft.synth.Transcripts
   * costs are not the quantity that scales with executors).
   */
 object Bench {
-  /** Quiescent 32-thread [[CpuControl.measure]] rate on the bench box
-    * (xorshift steps/sec), pinned from `sbt "runMain graft.CpuControl"`
-    * at loadavg ≤ 0.5 — the denominator of `cpu_control_ratio` in the
-    * bench JSON. Calibration 2026-08-17: quiescent max-of-3 windows
-    * ranged 1.08e10–1.36e10 across five back-to-back measurements
-    * (burstable/steal-prone host even when idle); the constant is the
-    * mid-band, and the degraded threshold (0.85) sits below the
-    * quiescent floor so only genuine co-tenant epochs trip the retry.
-    * Re-pin after any hardware change.
+  /** Quiescent PER-THREAD [[CpuControl.measure]] rate on the bench box
+    * (xorshift steps/sec/thread), pinned from
+    * `sbt "runMain graft.CpuControl"` at loadavg ≤ 0.5 — the ratio
+    * denominator is `this × ctrlThreads`, so the control scales with
+    * whatever core count the bench runs at (a 8-core scaling-sweep run
+    * must not be graded against a 32-thread reference). Calibration
+    * 2026-08-17 at 32 threads: quiescent max-of-3 windows ranged
+    * 1.08e10–1.36e10 aggregate (3.4e8–4.3e8/thread) across five
+    * back-to-back measurements (burstable/steal-prone host even when
+    * idle); the constant is the mid-band, and the degraded threshold
+    * (0.85) sits below the quiescent floor so only genuine co-tenant
+    * epochs trip the retry. Low thread counts boost ~10-15% ABOVE this
+    * per-thread reference (less cache/port contention) — the ratio cap
+    * in value_cpu_normalized absorbs that. Re-pin after any hardware
+    * change.
     */
-  final val QuiescentCtrlOps: Double = 1.25e10
+  final val QuiescentCtrlOpsPerThread: Double = 1.25e10 / 32
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -175,14 +181,15 @@ object Bench {
     // moment and the headline stands un-degraded (transient dips right
     // after a Spark action — GC, executor-pool wind-down — must not
     // stamp a quiescent artifact as a degraded epoch)
+    val quiescentRef = QuiescentCtrlOpsPerThread * ctrlThreads
     val retryNeeded =
-      math.min(ctrlBefore, ctrlAfter) / QuiescentCtrlOps < 0.85
+      math.min(ctrlBefore, ctrlAfter) / quiescentRef < 0.85
     val (tScoring3, ctrlRetry) = if (retryNeeded) {
       val (_, t3) = time { evalScored(hydrated) }
       (t3, CpuControl.measure(ctrlThreads))
     } else (-1.0, -1.0)
     val ctrlBest = Seq(ctrlBefore, ctrlAfter, ctrlRetry).max
-    val ctrlRatio = ctrlBest / QuiescentCtrlOps
+    val ctrlRatio = ctrlBest / quiescentRef
     val degraded = ctrlRatio < 0.85
     val tScoring = (Seq(tScoring1, tScoring2) ++
       (if (retryNeeded) Seq(tScoring3) else Nil)).min
@@ -246,7 +253,7 @@ object Bench {
       s""""cpu_control_before":$ctrlBefore,"cpu_control_after":$ctrlAfter,""" +
       s""""cpu_control_retry":$ctrlRetry,""" +
       s""""cpu_control_ops_per_sec":$ctrlBest,""" +
-      s""""cpu_control_quiescent_ref":$QuiescentCtrlOps,""" +
+      s""""cpu_control_quiescent_ref":$quiescentRef,""" +
       s""""cpu_control_ratio":$ctrlRatio,"epoch_degraded":$degraded,""" +
       s""""value_cpu_normalized":$ppsNorm,""" +
       s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +

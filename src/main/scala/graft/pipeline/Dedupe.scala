@@ -126,8 +126,15 @@ object Dedupe {
       strat(1).unionByName(strat(0))
     } else labelsAll
 
+  /** `turns` overrides the default parquet ingest with a user-supplied
+    * transcript-turn DataFrame of [[graft.synth.Transcripts.turnSchema]]
+    * shape — the reference's documented CSV entry path
+    * (docs/source/usage/dedupe.rst: `pd.read_csv(...)` →
+    * `api.Dedupe(df=df)`) is `Transcripts.readTurns(spark, path)` fed
+    * here; everything downstream is source-agnostic. */
   def run(spark: SparkSession, sfDir: String, cfg: Config = Config(),
-          workDir: Option[String] = None): Result = {
+          workDir: Option[String] = None,
+          turns: Option[DataFrame] = None): Result = {
     val io = workDir.map(new TableIO(spark, _))
     def staged(name: String, inputs: Seq[String],
                identity: Option[String] = None)(f: => DataFrame): DataFrame =
@@ -138,7 +145,8 @@ object Dedupe {
 
     // 1. ingest + normalize (stable turn ordering invariant)
     val records = staged("records", Seq(sfDir)) {
-      Normalize.normalize(Transcripts.transcripts(spark, sfDir))
+      Normalize.normalize(
+        turns.getOrElse(Transcripts.transcripts(spark, sfDir)))
     }.cache()
 
     // 2. labeled pairs (planted-duplicate truth, reference

@@ -31,6 +31,23 @@ class DedupeE2ESpec extends AnyFunSuite with SparkSuite {
     assert(result.ccSupersteps.size >= 2)
   }
 
+  test("CSV-landed corpus: the full learned pipeline reaches the same " +
+    "F1 gate from a csv ingest (documented first-run path)") {
+    import graft.synth.Transcripts
+    val csvPath = java.nio.file.Files
+      .createTempDirectory("graft_csv_corpus").toString + "/turns.csv"
+    // land the corpus as a headered CSV, then run the pipeline from
+    // Transcripts.readTurns — the reference's pd.read_csv entry path
+    Transcripts.transcripts(spark, sfDir).write
+      .option("header", "true").csv(csvPath)
+    val turns = Transcripts.readTurns(spark, csvPath, format = "csv")
+    val result = Dedupe.run(spark, sfDir, Dedupe.Config(),
+      turns = Some(turns))
+    val (f1, tp, fp, fn) = Dedupe.pairwiseF1(spark, sfDir, result.scored)
+    info(s"csv e2e: f1=$f1 tp=$tp fp=$fp fn=$fn")
+    assert(f1 >= 0.99, s"pairwise F1 $f1 below gate (tp=$tp fp=$fp fn=$fn)")
+  }
+
   test("resume: a committed clusters stage skips the CC iteration " +
     "entirely and returns identical clusters") {
     val workDir = java.nio.file.Files
