@@ -70,12 +70,19 @@ final class Learner(
     seedRrCut: Double = 0.99,
     maxBlockSize: Int = Blocking.DefaultMaxBlockSize,
     idCol: String = "conv_id",
-    maxCompare: Long = 1000000L) {
+    maxCompare: Long = 1000000L,
+    dpParallelism: Int = Learner.DefaultDpParallelism) {
 
   val schemes: Seq[BoundScheme] = Schemes.forAttributes(attrs)
   private val byName: Map[String, BoundScheme] =
     schemes.map(b => b.name -> b).toMap
-  private val cache = mutable.Map.empty[Seq[String], ConjStats]
+  // memoized conjunction stats, keyed by the SORTED scheme list. A
+  // ConcurrentHashMap because seed DP chains run on parallel threads
+  // ([[learnFrom]]); a race is benign — stats are a pure function of
+  // the data, so the rare double-compute (two seeds' paths converging
+  // on the same conjunction in the same instant) writes the same value
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], ConjStats]
 
   private val labelsCached = labels.cache()
 
@@ -191,7 +198,7 @@ final class Learner(
     * count.
     */
   def scoreBatch(base: Seq[String], exts: Seq[String]): Map[String, ConjStats] = {
-    val missing = exts.filterNot(x => cache.contains(((base :+ x).sorted)))
+    val missing = exts.filterNot(x => cache.containsKey((base :+ x).sorted))
     val t0 = System.nanoTime()
     if (missing.nonEmpty) {
       val keyCols = Seq("_x", "sigh")
@@ -236,12 +243,21 @@ final class Learner(
       missing.foreach { x =>
         val s = found.getOrElse(x,
           ConjStats(base :+ x, 0L, 0L, 0L, 1.0))
-        cache((base :+ x).sorted) = s
+        cache.put((base :+ x).sorted, s)
       }
       log(s"scored ${missing.size} extensions of [${base.mkString("&")}] " +
         s"in ${math.round((System.nanoTime() - t0) / 1e8) / 10.0} s")
     }
-    exts.map(x => x -> cache((base :+ x).sorted)).toMap
+    // return the CALLER's path order, not whichever chain populated the
+    // cache first: stats live under the sorted key, but the conjunction
+    // Seq a chain sees must be its own `base :+ x` — otherwise two
+    // chains converging on one scheme set would hand out the first
+    // computer's ordering, making the learned list depend on chain
+    // completion order under [[learnFrom]]'s parallelism
+    exts.map { x =>
+      val s = cache.get((base :+ x).sorted)
+      x -> s.copy(conjunction = base :+ x)
+    }.toMap
   }
 
   /** Single-conjunction scoring (tests / spot checks). */
@@ -331,15 +347,39 @@ final class Learner(
 
   /** DP from an explicit seed set (package-private so the seed-budget
     * A/B tool and specs can compare selection policies on one shared
-    * stats cache). */
+    * stats cache).
+    *
+    * Seed chains run on `dpParallelism` driver threads: each seed's DP
+    * is sequential in DEPTH (depth n+1 extends depth n's argmax), but
+    * different seeds' chains are independent, and at bench scale each
+    * stats batch is barrier-bound (sub-second tasks behind a driver
+    * collect), so overlapping the chains hides the job-scheduling
+    * latency that otherwise dominates the learner stage. Spark job
+    * submission is thread-safe; the stats cache is concurrent; results
+    * are awaited IN SEED ORDER and both `distinctBy` (keeps first) and
+    * `sortBy` (stable) preserve it, so the learned list is bit-identical
+    * to the sequential one at any parallelism. */
   private[graft] def learnFrom(extendSeeds: Seq[String],
                                singles: Map[String, ConjStats]): Seq[ConjStats] = {
     val passing = schemes.map(_.name).filter { s =>
       val st = singles(s); st.positives > 0 && st.rr >= seedRrCut
     }
     val rest = passing.filterNot(extendSeeds.contains)
-    (extendSeeds.flatMap(s => getBestFrom(s, singles)) ++
-      rest.map(singles))
+    val par = math.max(1, math.min(dpParallelism, extendSeeds.size))
+    val chains: Seq[Seq[ConjStats]] =
+      if (par <= 1) extendSeeds.map(s => getBestFrom(s, singles))
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(extendSeeds.map(s =>
+            Future(getBestFrom(s, singles)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    (chains.flatten ++ rest.map(singles))
       .distinctBy(_.conjunction.sorted)
       .sortBy(_.key)(Ordering[(Double, Long, Long)].reverse)
   }
@@ -351,4 +391,14 @@ final class Learner(
     corpusSigs.unpersist(); labelsCached.unpersist()
     labRecSigs.unpersist(); ()
   }
+}
+
+object Learner {
+  /** Concurrent seed DP chains (an execution knob, NOT part of the
+    * learned-output semantics — the result is bit-identical at any
+    * value, so it deliberately stays OUT of the `conjunctions` stage
+    * identity). 4 overlaps enough collect barriers to hide scheduling
+    * latency without stacking 4 corpus-scale DISK_ONLY block tables of
+    * doubtful co-residency on the executor spill volume. */
+  final val DefaultDpParallelism: Int = 4
 }

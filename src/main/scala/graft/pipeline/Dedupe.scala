@@ -52,7 +52,11 @@ object Dedupe {
       // the blocking learner may use, and which (attr, metric)
       // similarity columns the classifier sees
       blockingAttrs: Seq[String] = Normalize.blockingAttributes,
-      features: Seq[Distances.AttrSim] = Distances.defaultPlan)
+      features: Seq[Distances.AttrSim] = Distances.defaultPlan,
+      // concurrent learner seed-DP chains — an execution knob (the
+      // learned list is bit-identical at any value), so it is NOT part
+      // of the conjunctions stage identity
+      dpParallelism: Int = Learner.DefaultDpParallelism)
 
   /** min_rr / max_compare stop condition (reference
     * db/postgres/blocking.py:74-86): with n records the full-data
@@ -189,7 +193,7 @@ object Dedupe {
       Some(idConj)) {
       val learner = new Learner(records, labels, cfg.blockingAttrs,
         cfg.k, cfg.seedRrCut, cfg.maxBlockSize,
-        maxCompare = cfg.maxCompare)
+        maxCompare = cfg.maxCompare, dpParallelism = cfg.dpParallelism)
       val learned = learner.learn()
       learner.unpersist()
       learned.toDF()

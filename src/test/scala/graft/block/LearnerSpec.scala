@@ -88,6 +88,20 @@ class LearnerSpec extends AnyFunSuite with SparkSuite {
       .forall(_.conjunction.head != refused))
   }
 
+  test("parallel seed DP chains produce the bit-identical learned list " +
+    "(dpParallelism is an execution knob, not a semantic one)") {
+    val sequential = new Learner(train, labels, Seq("head_text", "role_seq"),
+      k = 3, seedRrCut = 0.0, maxBlockSize = 100, dpParallelism = 1).learn()
+    val parallel = new Learner(train, labels, Seq("head_text", "role_seq"),
+      k = 3, seedRrCut = 0.0, maxBlockSize = 100, dpParallelism = 4).learn()
+    // exact element-wise equality INCLUDING order — stats are a pure
+    // function of the data, chains are awaited in seed order, and
+    // distinctBy/sortBy are order-preserving/stable, so ties must land
+    // identically at any parallelism
+    assert(parallel == sequential)
+    assert(parallel.nonEmpty)
+  }
+
   test("ngram constraint: conjunctions never contain 2 ngram schemes") {
     val conjs = learner().learn()
     conjs.foreach { c =>
