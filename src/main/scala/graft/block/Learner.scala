@@ -399,6 +399,8 @@ object Learner {
     * value, so it deliberately stays OUT of the `conjunctions` stage
     * identity). 4 overlaps enough collect barriers to hide scheduling
     * latency without stacking 4 corpus-scale DISK_ONLY block tables of
-    * doubtful co-residency on the executor spill volume. */
+    * doubtful co-residency on the executor spill volume; 8 measured NO
+    * faster at sf0.1 (72.9 s vs 74.5 s for the conjunctions stage) —
+    * past 4 chains the batches contend for cores, not barriers. */
   final val DefaultDpParallelism: Int = 4
 }
