@@ -164,6 +164,19 @@ object OracleSql {
     * [[graft.sim.Alignment]] bit-for-bit, so the driver's hash compare
     * is exact, not approximate. Sentinel −1e18 follows the kernel's
     * NegInf: |x| ≫ 2^53 absorbs the −0.5 gap-extend in BOTH engines.
+    *
+    * `swbestn`/`hbestn` fold the diagonal just computed by referencing
+    * the `sw1n`/`h1n` aliases from the same SELECT list (DuckDB
+    * lateral column aliases), so each step evaluates its dominant
+    * list expression once instead of re-inlining it.
+    *
+    * Character model: the Spark kernels index UTF-16 code units
+    * (Scala `charAt`/`length`), this mirror DuckDB CODEPOINTS
+    * (`length`/`string_split`). Identical over the BMP — all of the
+    * synthetic corpus — but an astral-plane character (emoji) counts 2
+    * units vs 1 codepoint, so a unicode-heavy corpus would need a
+    * code-unit-level split here before the hash compare could stay
+    * exact.
     */
   def alignmentOracle: String = {
     val ctes = Seq(
@@ -208,13 +221,8 @@ object OracleSql {
         |                          sw1[i] - 1, sw1[i + 1] - 1)
         |       END END FOR i IN range(0, m + 1)] AS sw1n,
         |    sw1,
-        |    greatest(swbest, coalesce(list_aggregate(
-        |      [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
-        |         CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0
-        |              ELSE greatest(0,
-        |                            sw2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2 ELSE -1 END,
-        |                            sw1[i] - 1, sw1[i + 1] - 1)
-        |         END END FOR i IN range(0, m + 1)], 'max'), 0)) AS swbestn,
+        |    greatest(swbest,
+        |      coalesce(list_aggregate(sw1n, 'max'), 0)) AS swbestn,
         |    [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
         |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0.0::DOUBLE
         |            ELSE greatest(0.0,
@@ -231,14 +239,8 @@ object OracleSql {
         |       CASE WHEN i = 0 OR d + 1 - i = 0 THEN -1e18::DOUBLE
         |            ELSE greatest(h1[i] - 2.0, f1[i] - 0.5)
         |       END END FOR i IN range(0, m + 1)] AS f1n,
-        |    greatest(hbest, coalesce(list_aggregate(
-        |      [CASE WHEN d + 1 - i BETWEEN 0 AND n THEN
-        |         CASE WHEN i = 0 OR d + 1 - i = 0 THEN 0.0::DOUBLE
-        |              ELSE greatest(0.0,
-        |                     h2[i] + CASE WHEN ca[i] = cb[d + 1 - i] THEN 2.0::DOUBLE ELSE -1.0::DOUBLE END,
-        |                     greatest(h1[i + 1] - 2.0, e1[i + 1] - 0.5),
-        |                     greatest(h1[i] - 2.0, f1[i] - 0.5))
-        |         END END FOR i IN range(0, m + 1)], 'max'), 0.0::DOUBLE)) AS hbestn
+        |    greatest(hbest,
+        |      coalesce(list_aggregate(h1n, 'max'), 0.0::DOUBLE)) AS hbestn
         |  FROM align WHERE d < m + n
         |)""".stripMargin)
     val select =

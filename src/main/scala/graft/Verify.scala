@@ -29,14 +29,17 @@ object Verify {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      derivedDim =
-        try Some(spark.read.parquet(s"$sfDir/embeddings.parquet")
-          .selectExpr("size(embedding)").head().getInt(0))
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] embeddings dim probe failed " +
-            s"(q32 oracle keeps its default dim): ${e.getMessage}")
-          None
-        }
+      // probe only when q32 is in scope: a --only subset without it
+      // should not pay an embeddings read or warn about one failing
+      if (only.forall(_.contains("q32_emb_lsh_pairs")))
+        derivedDim =
+          try Some(spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .selectExpr("size(embedding)").head().getInt(0))
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] embeddings dim probe failed " +
+              s"(q32 oracle keeps its default dim): ${e.getMessage}")
+            None
+          }
       SparkEntry.queries
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .foreach { case (name, fn) =>

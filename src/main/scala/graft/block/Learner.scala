@@ -76,13 +76,20 @@ final class Learner(
   val schemes: Seq[BoundScheme] = Schemes.forAttributes(attrs)
   private val byName: Map[String, BoundScheme] =
     schemes.map(b => b.name -> b).toMap
-  // memoized conjunction stats, keyed by the SORTED scheme list. A
-  // ConcurrentHashMap because seed DP chains run on parallel threads
-  // ([[learnFrom]]); a race is benign — stats are a pure function of
-  // the data, so the rare double-compute (two seeds' paths converging
-  // on the same conjunction in the same instant) writes the same value
+  // memoized conjunction stats, keyed by the SORTED scheme list.
+  // ConcurrentHashMaps because seed DP chains run on parallel threads
+  // ([[learnFrom]]): `inflight` is the claim map — chains CONVERGING
+  // on the same base (seed A's argmax is B and vice versa) is
+  // structurally common, not a same-instant rarity, and without a
+  // claim each converged chain would re-run the full corpus-scale
+  // stats batch for the same conjunctions. The first thread to claim
+  // a key computes it; others await the winner's latch and read the
+  // cache ([[scoreBatch]]).
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], ConjStats]
+  private[block] val inflight =
+    new java.util.concurrent.ConcurrentHashMap[
+      Seq[String], java.util.concurrent.CountDownLatch]
 
   private val labelsCached = labels.cache()
 
@@ -198,9 +205,22 @@ final class Learner(
     * count.
     */
   def scoreBatch(base: Seq[String], exts: Seq[String]): Map[String, ConjStats] = {
-    val missing = exts.filterNot(x => cache.containsKey((base :+ x).sorted))
+    // claim the uncached keys: compute only the ones this thread wins;
+    // await the in-flight winner for the rest (see `inflight` above)
+    val claimed = mutable.ArrayBuffer.empty[String]
+    val awaited =
+      mutable.ArrayBuffer.empty[(String, java.util.concurrent.CountDownLatch)]
+    exts.foreach { x =>
+      val k = (base :+ x).sorted
+      if (!cache.containsKey(k)) {
+        val latch = new java.util.concurrent.CountDownLatch(1)
+        val prev = inflight.putIfAbsent(k, latch)
+        if (prev == null) claimed += x else awaited += ((x, prev))
+      }
+    }
+    val missing = claimed.toSeq
     val t0 = System.nanoTime()
-    if (missing.nonEmpty) {
+    try if (missing.nonEmpty) {
       val keyCols = Seq("_x", "sigh")
       // block SIZES on the full corpus — a plain groupBy with map-side
       // partial aggregation over map-only incidence rows; the cap is
@@ -248,6 +268,17 @@ final class Learner(
       log(s"scored ${missing.size} extensions of [${base.mkString("&")}] " +
         s"in ${math.round((System.nanoTime() - t0) / 1e8) / 10.0} s")
     }
+    finally missing.foreach { x => // release claims even on failure —
+      // an un-counted latch would hang every waiter forever
+      Option(inflight.remove((base :+ x).sorted)).foreach(_.countDown())
+    }
+    awaited.foreach(_._2.await())
+    // a winner that failed leaves its key uncached — reclaim and
+    // recompute locally (the winner's own exception is already
+    // propagating up its chain)
+    val orphaned = awaited.map(_._1)
+      .filterNot(x => cache.containsKey((base :+ x).sorted))
+    if (orphaned.nonEmpty) scoreBatch(base, orphaned.toSeq)
     // return the CALLER's path order, not whichever chain populated the
     // cache first: stats live under the sorted key, but the conjunction
     // Seq a chain sees must be its own `base :+ x` — otherwise two
@@ -309,20 +340,31 @@ final class Learner(
     */
   def budgetMinRr: Double = 1.0 - maxCompare / math.max(nComparisons, 1.0)
 
-  /** Which passing seeds the DP refines — derived from the BUDGET MATH,
-    * not a rank count: a seed whose own depth-1 rr already clears the
-    * min_rr/max_compare refusal will itself be admitted and applied by
-    * the best-first budget loop, and every refinement `seed ∧ x` blocks
-    * a SUBSET of the seed's pairs — so its refinements can only re-add
-    * pairs the applied seed already contributes; refining it buys
-    * nothing. A seed BELOW the cutoff is refused outright at blocking
-    * time, and a blocking rule the budget already refused is not made
-    * admissible by narrowing it — its surviving sub-blocks are re-split
-    * slices of the same refused key space, the reference's semantics
-    * for everything past the first refusal (blocking.py:74-86 stops the
-    * whole loop there). Each skipped seed saves k−1 corpus-scale stats
-    * batches; the skipped seeds keep their depth-1 stats in the learned
-    * list, so the budget loop still sees them.
+  /** Which passing seeds the DP refines EAGERLY — derived from the
+    * BUDGET MATH, not a rank count: the seeds whose own depth-1 rr
+    * already clears the min_rr/max_compare refusal. Their refinements
+    * sort above them (higher rr) and cover positives at a lower
+    * pair-per-positive cost, which is exactly where the best-first
+    * nCovered budget bites — while coverage itself is safe regardless,
+    * because the admitted seed (applied later in the same prefix)
+    * blocks a SUPERSET of every refinement's pairs. Each skipped
+    * below-cutoff seed saves k−1 corpus-scale stats batches; skipped
+    * seeds keep their depth-1 stats in the learned list, so the budget
+    * loop still sees (and refuses) them.
+    *
+    * What the skip assumes — and what guards it: rr is MONOTONE under
+    * refinement (`seed ∧ x` blocks a subset of the seed's pairs, so
+    * rr(seed ∧ x) ≥ rr(seed)), which means a below-cutoff seed's
+    * refinement CAN clear the cutoff and enter the applied prefix —
+    * the reference, which extends every seed (optimizers.py:73-99),
+    * would learn it. Such a refinement only MATTERS when it covers a
+    * duplicate pair nothing admitted covers, and that is checkable
+    * exactly against the labels: [[learn]] verifies the admitted
+    * prefix's label coverage after the primary pass and escalates to
+    * refining EVERY passing seed (full reference semantics,
+    * cache-incremental) if a labeled positive would otherwise be
+    * lost. The guard is exactly as strong as the labels — the same
+    * evidence the reference's own conjunction search runs on.
     */
   private[graft] def refinableSeeds(singles: Map[String, ConjStats]): Seq[String] = {
     val minRr = budgetMinRr
@@ -334,6 +376,35 @@ final class Learner(
       .sortBy(s => singles(s).key)(Ordering[(Double, Long, Long)].reverse)
   }
 
+  /** Distinct labeled POSITIVE pairs covered by ANY of `conjs` — the
+    * union counterpart of [[scoreBatch]]'s per-conjunction coverage
+    * arm, same scale shape: one map-only incidence pass over each
+    * cached signature table, one grouped count for the cap-surviving
+    * blocks, coverage joins on the labeled slice only. Feeds
+    * [[learn]]'s escalation guard.
+    */
+  private[graft] def coveredPositives(conjs: Seq[Seq[String]]): Long = {
+    if (conjs.isEmpty) return 0L
+    val arr = array(conjs.zipWithIndex.map { case (c, i) =>
+      struct(lit(i.toString).as("_x"), combosCol(c).as("_ks")) }: _*)
+    def rows(sigs: DataFrame, keep: Seq[Column]) = sigs
+      .select(keep :+ explode(arr).as("_e"): _*)
+      .select((keep :+ col("_e._x").as("_x")) :+
+        explode(col("_e._ks")).as("sigh"): _*)
+    val keyCols = Seq("_x", "sigh")
+    val surviving = rows(corpusSigs, Nil)
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBlockSize)
+    val labSigs = rows(labRecSigs, Seq(col(idCol)))
+      .join(surviving.select(keyCols.map(col): _*), keyCols, "left_semi")
+    val l = labSigs.select(col(idCol).as("id_l") +: keyCols.map(col): _*)
+    val r = labSigs.select(col(idCol).as("id_r") +: keyCols.map(col): _*)
+    labelsCached.filter(col("label") === 1)
+      .join(l, "id_l")
+      .join(r, "id_r" +: keyCols)
+      .select("id_l", "id_r").distinct().count()
+  }
+
   def learn(): Seq[ConjStats] = {
     val singles = scoreBatch(Nil, schemes.map(_.name))
     // refine only the seeds the budget math says can matter (see
@@ -341,8 +412,34 @@ final class Learner(
     // (The reference extends EVERY seed — one postgres query per
     // candidate from a process pool, optimizers.py:73-99; at Spark
     // batch costs a below-cutoff seed's refinements are corpus-scale
-    // work for conjunctions the budget loop then refuses.)
-    learnFrom(refinableSeeds(singles), singles)
+    // work for conjunctions the budget loop usually refuses.)
+    val passing = schemes.map(_.name).filter { s =>
+      val st = singles(s); st.positives > 0 && st.rr >= seedRrCut
+    }
+    val primary = refinableSeeds(singles)
+    val learned = learnFrom(primary, singles)
+    if (passing.size == primary.size) return learned
+    // COVERAGE GUARD for the skipped (below-cutoff) seeds: if the
+    // would-be admitted prefix (the same takeWhile
+    // [[graft.pipeline.Dedupe.applicableConjunctions]] applies)
+    // already covers every labeled positive, skipped refinements
+    // cannot add coverage — the skip is proven safe against the
+    // labels. Otherwise fall back to the reference's full semantics.
+    // Common-case cost: ZERO extra Spark jobs beyond one tiny labels
+    // count — a single admitted conjunction covering all positives
+    // short-circuits the union batch.
+    val admitted = learned.takeWhile(_.rr >= budgetMinRr)
+    val totalPos = labelsCached.filter(col("label") === 1)
+      .select("id_l", "id_r").distinct().count()
+    val gapFree = totalPos == 0L ||
+      admitted.exists(_.positives == totalPos) ||
+      coveredPositives(admitted.map(_.conjunction)) == totalPos
+    if (gapFree) learned
+    else {
+      log(s"labeled positives uncovered behind the admitted prefix — " +
+        s"escalating to full DP over all ${passing.size} passing seeds")
+      learnFrom(passing, singles)
+    }
   }
 
   /** DP from an explicit seed set (package-private so the seed-budget

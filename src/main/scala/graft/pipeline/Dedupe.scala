@@ -147,8 +147,19 @@ object Dedupe {
         case None => f
       }
 
+    // INPUT fingerprint: the most basic determinant of every stage is
+    // the corpus itself — a reused workDir pointed at a different
+    // sfDir, or fed a different user-supplied `turns` frame, must
+    // recompute rather than silently resume the old corpus's outputs.
+    // `semanticHash` fingerprints the turns PLAN (source paths +
+    // transforms, canonicalized), which is the right granularity here:
+    // same source re-read hashes equal, a different file or transform
+    // chain does not.
+    val idCorpus = s"sf=$sfDir" +
+      turns.map(t => s";turns=${t.semanticHash()}").getOrElse("")
+
     // 1. ingest + normalize (stable turn ordering invariant)
-    val records = staged("records", Seq(sfDir)) {
+    val records = staged("records", Seq(sfDir), Some(idCorpus)) {
       Normalize.normalize(
         turns.getOrElse(Transcripts.transcripts(spark, sfDir)))
     }.cache()
@@ -170,13 +181,13 @@ object Dedupe {
     val nRecords = records.count()
     // stage IDENTITY: every stage output depends on config knobs the
     // _SUCCESS marker alone can't see, so each stage records a
-    // CUMULATIVE fingerprint (its own knobs + everything upstream) and
-    // a resumed run whose fingerprint differs recomputes from that
-    // stage DOWN — changing the learner seed on a reused workDir must
-    // not resume conjunctions learned under the old seed, and must not
-    // leave a recomputed conjunction list feeding stale committed
-    // pairs either.
-    val idConj = Seq(
+    // CUMULATIVE fingerprint (the input fingerprint + its own knobs +
+    // everything upstream) and a resumed run whose fingerprint differs
+    // recomputes from that stage DOWN — changing the learner seed on a
+    // reused workDir must not resume conjunctions learned under the
+    // old seed, and must not leave a recomputed conjunction list
+    // feeding stale committed pairs either.
+    val idConj = idCorpus + ";" + Seq(
       s"k=${cfg.k}", s"seedRrCut=${cfg.seedRrCut}",
       s"maxBlockSize=${cfg.maxBlockSize}",
       s"maxTrainLabels=${cfg.maxTrainLabels}",

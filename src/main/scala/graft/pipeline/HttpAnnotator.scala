@@ -39,8 +39,23 @@ final class HttpAnnotator(base: String, pollMs: Long = 200,
     "\"" + s + "\""
   }
 
-  private val rowRe =
-    """\{\s*"id_l"\s*:\s*"([^"]*)"\s*,\s*"id_r"\s*:\s*"([^"]*)"\s*,\s*"label"\s*:\s*(\d+)\s*\}""".r
+  // annotation objects are parsed field-by-field, NOT with one
+  // ordered regex: JSON serializers don't guarantee key order and a
+  // real backend may attach extra scalar fields — both must parse,
+  // not time out as "unlabeled"
+  private val objRe = """\{[^{}]*\}""".r
+  private val idLRe = """"id_l"\s*:\s*"([^"]*)"""".r
+  private val idRRe = """"id_r"\s*:\s*"([^"]*)"""".r
+  private val labelRe = """"label"\s*:\s*(\d+)""".r
+
+  private def parseAnnotations(body: String): Map[(String, String), Int] =
+    objRe.findAllIn(body).flatMap { o =>
+      for {
+        l <- idLRe.findFirstMatchIn(o)
+        r <- idRRe.findFirstMatchIn(o)
+        v <- labelRe.findFirstMatchIn(o)
+      } yield ((l.group(1), r.group(1)), v.group(1).toInt)
+    }.toMap
 
   def apply(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
@@ -52,11 +67,20 @@ final class HttpAnnotator(base: String, pollMs: Long = 200,
 
     val client = HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(timeoutMs)).build()
+    // every request carries its own .timeout() bounded by the overall
+    // deadline: connectTimeout alone does not bound a server that
+    // accepts the connection and then stalls mid-response — without a
+    // request timeout the poll loop would hang in send() forever
+    // instead of failing after timeoutMs
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def remaining = Duration.ofMillis(
+      math.max(1L, (deadline - System.nanoTime()) / 1000000L))
     val body = todo.map { case (l, r) =>
       s"""{"id_l":${jsonStr(l)},"id_r":${jsonStr(r)}}"""
     }.mkString("[", ",", "]")
     val post = HttpRequest.newBuilder(URI.create(s"$base/tasks"))
       .header("Content-Type", "application/json")
+      .timeout(remaining)
       .POST(HttpRequest.BodyPublishers.ofString(body)).build()
     val postResp = client.send(post, HttpResponse.BodyHandlers.ofString())
     require(postResp.statusCode() / 100 == 2,
@@ -66,17 +90,23 @@ final class HttpAnnotator(base: String, pollMs: Long = 200,
     // webhook inversion — polling — keeps the adapter dependency-free;
     // a webhook receiver would need a server inside the driver)
     val wanted = todo.toSet
-    val deadline = System.nanoTime() + timeoutMs * 1000000L
     var got: Map[(String, String), Int] = Map.empty
     while (!wanted.forall(got.contains) && System.nanoTime() < deadline) {
       val get = HttpRequest.newBuilder(URI.create(s"$base/annotations"))
-        .GET().build()
-      val resp = client.send(get, HttpResponse.BodyHandlers.ofString())
-      require(resp.statusCode() / 100 == 2,
-        s"GET /annotations failed: HTTP ${resp.statusCode()}")
-      got = rowRe.findAllMatchIn(resp.body()).map(m =>
-        ((m.group(1), m.group(2)), m.group(3).toInt)).toMap
-      if (!wanted.forall(got.contains)) Thread.sleep(pollMs)
+        .timeout(remaining).GET().build()
+      val resp =
+        try client.send(get, HttpResponse.BodyHandlers.ofString())
+        catch { // a stalled response burns the deadline, not forever;
+                // the loop exits and the unlabeled require reports it
+          case _: java.net.http.HttpTimeoutException => null
+        }
+      if (resp != null) {
+        require(resp.statusCode() / 100 == 2,
+          s"GET /annotations failed: HTTP ${resp.statusCode()}")
+        got = parseAnnotations(resp.body())
+      }
+      if (!wanted.forall(got.contains) && System.nanoTime() < deadline)
+        Thread.sleep(pollMs)
     }
     val missing = wanted.filterNot(got.contains)
     require(missing.isEmpty,

@@ -206,6 +206,15 @@ object StreamingDedupe {
     * cost, same bound. Same clamp-above-watermark guard as
     * [[streamingSessions]] so a late batch can't register a
     * past-timestamp timeout (query crash).
+    *
+    * The default TTL therefore also applies `withWatermark(ts,
+    * watermark)` — and a watermark makes the engine DROP rows arriving
+    * more than `watermark` behind the stream's max event time, before
+    * the state function ever sees them. A deep backfill/replay whose
+    * timestamps lag live traffic by hours must widen `watermark` to
+    * cover the lag, or opt out entirely with `idleTtlMinutes = None`
+    * (which disables the watermark and the eviction bound together —
+    * the previous process-everything behavior).
     */
   def streamingBandCandidates(docs: Dataset[BandedDoc],
                               bucketCap: Int = 200,

@@ -102,6 +102,46 @@ class LearnerSpec extends AnyFunSuite with SparkSuite {
     assert(parallel.nonEmpty)
   }
 
+  test("coverage-gap escalation: refinements of budget-refused seeds " +
+    "are learned when the admitted prefix would miss a labeled positive") {
+    // Two labeled positives, NO depth-1 seed admissible: the b-block
+    // (5 identical heads) puts ≥ 10 pairs under every head scheme, the
+    // 7-strong "u a" role block ≥ 21 under every role scheme — so with
+    // maxCompare = 2 over C(16,2) = 120 (min_rr = 118/120) every seed
+    // is refused at depth 1 and refinableSeeds is EMPTY. Only
+    // refinements (e.g. head-prefix ∧ role-exact: blocks {a1,a2} and
+    // {b1,b2}, 2 pairs) clear the cutoff — exactly the case the
+    // primary skip would lose and the label-coverage guard must catch.
+    val recs = Seq(
+      ("a1", "zeta one", "u a"), ("a2", "zeta two", "u a"),
+      ("b1", "alpha beta", "q q"), ("b2", "alpha beta", "q q"),
+      ("b3", "alpha beta", "r r"), ("b4", "alpha beta", "s s"),
+      ("b5", "alpha beta", "t v"),
+      ("n1", "zeta n1", "t t"), ("n2", "zeta n2", "t u"),
+      ("n3", "zeta n3", "u t"), ("n4", "zeta n4", "a a"),
+      ("m1", "golf gg", "u a"), ("m2", "hotel hh", "u a"),
+      ("m3", "india ii", "u a"), ("m4", "juliet jj", "u a"),
+      ("m5", "kilo kk", "u a")).toDF("conv_id", "head_text", "role_seq")
+    val labs = Seq(("a1", "a2", 1), ("b1", "b2", 1), ("n1", "m1", 0))
+      .toDF("id_l", "id_r", "label")
+    val l = new Learner(recs, labs, Seq("head_text", "role_seq"), k = 3,
+      seedRrCut = 0.0, maxBlockSize = 100, maxCompare = 2L)
+    val singles = l.scoreBatch(Nil, l.schemes.map(_.name))
+    // premise: covering seeds exist but every one is budget-refused at
+    // depth 1, so the eager criterion refines nothing
+    assert(l.schemes.map(_.name).exists { s =>
+      singles(s).positives > 0 && singles(s).rr < l.budgetMinRr })
+    assert(l.refinableSeeds(singles).isEmpty)
+    val learned = l.learn()
+    val admitted = learned.takeWhile(_.rr >= l.budgetMinRr)
+    // escalation refined the refused seeds: the admitted prefix now
+    // holds multi-scheme refinements and covers BOTH labeled positives
+    assert(admitted.nonEmpty && admitted.forall(_.conjunction.size > 1))
+    assert(l.coveredPositives(admitted.map(_.conjunction)) == 2L)
+    // no stale in-flight claims leak out of a learn() call
+    assert(l.inflight.isEmpty)
+  }
+
   test("ngram constraint: conjunctions never contain 2 ngram schemes") {
     val conjs = learner().learn()
     conjs.foreach { c =>

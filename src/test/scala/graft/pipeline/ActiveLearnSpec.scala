@@ -50,9 +50,12 @@ class ActiveLearnSpec extends AnyFunSuite with SparkSuite {
         val all = queue.toArray(Array.empty[(String, String)])
         val n = math.min(all.length,
           released.updateAndGet(r => math.min(r + 7, all.length)))
+        // keys deliberately NOT in id_l/id_r/label order, plus an
+        // extra field — real JSON serializers guarantee neither, and
+        // the adapter must parse fields, not a fixed key sequence
         val body = all.take(n).map { case (l, r) =>
           val lab = if (truth.contains((l, r))) 1 else 0
-          s"""{"id_l":"$l","id_r":"$r","label":$lab}"""
+          s"""{"label":$lab,"task":7,"id_r":"$r","id_l":"$l"}"""
         }.mkString("[", ",", "]").getBytes("UTF-8")
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
