@@ -490,6 +490,21 @@ object SparkEntry {
           (floor((lit(1.0) - col("n_pairs") /
             (col("_n") * (col("_n") - 1) / 2.0)) * 1000000.0)
             / 1000000.0).as("rr"))
+    }),
+
+    // The escalation guard's union label coverage (Learner
+    // .coveredPairs): the distinct labeled positives whose two ends
+    // share a cap-surviving (compound) signature of ANY conjunction in
+    // a fixed menu — the exact quantity learn() compares against the
+    // labeled-positive total before skipping seed refinements
+    "q60_coverage_guard" -> ((s, dir) => {
+      val learner = new graft.block.Learner(records(s, dir),
+        Labels.plantedLabels(s, dir), Seq("head_text", "role_seq"),
+        maxBlockSize = Cap)
+      learner.coveredPairs(Seq(
+        Seq("first_nchars_6_head_text"),
+        Seq("first_nchars_6_head_text", "acronym_role_seq"),
+        Seq("find_ngrams_6_head_text")))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -748,6 +763,7 @@ object SparkEntry {
     "q40_media_features" -> graft.media.MediaOps.mediaFeaturesSql,
     "q44_media_frames" -> graft.media.MediaOps.frameSamplesSql,
     "q45_conj_scores" -> conjScoresOracle,
+    "q60_coverage_guard" -> coverageGuardOracle,
     "q51_latest_annotation" -> OracleSql.withNormalized(
       Seq(OracleSql.labelsCte),
       graft.block.Labels.latestAnnotationsSql),
@@ -827,6 +843,61 @@ object SparkEntry {
            |) CROSS JOIN (SELECT count(*) AS n FROM normalized)""".stripMargin),
       Seq("transcripts", "normalized", "sig_a", "cap_a", "pairs_a",
         "sig_b", "cap_b", "pairs_b", "sig_c", "cap_c", "pairs_c", "labels"))
+  }
+
+  /** q60: the escalation guard's union label coverage mirrored in
+    * SQL — a labeled positive is covered iff both ends share a
+    * cap-surviving (compound) signature of some menu conjunction.
+    * Block identity is the VALUE tuple here where the learner groups
+    * by a 64-bit hash chain — the covered-pair SET is identical as
+    * long as the hash doesn't collide, which is what q60 checks.
+    * UNION (not UNION ALL) dedupes across and within conjunctions,
+    * mirroring the learner's final `distinct()`. */
+  private def coverageGuardOracle: String = {
+    def covBlock(tag: String, sigsCte: String,
+                 nSigs: Int): (Seq[String], String) = {
+      val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
+      val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i")
+        .mkString(" AND ")
+      (Seq(sigsCte,
+        s"""cap_$tag AS (
+           |  SELECT * FROM sig_$tag WHERE ($sigs) IN (
+           |    SELECT ($sigs) FROM sig_$tag GROUP BY $sigs
+           |    HAVING count(*) <= $Cap)
+           |)""".stripMargin),
+        s"""SELECT p.id_l, p.id_r
+           |FROM labels p
+           |JOIN cap_$tag l ON p.id_l = l.conv_id
+           |JOIN cap_$tag r ON p.id_r = r.conv_id AND $eqs
+           |WHERE p.label = 1""".stripMargin)
+    }
+    val (ctesA, selA) = covBlock("a",
+      """sig_a AS (
+        |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0
+        |  FROM normalized WHERE substring(head_text, 1, 6) != ''
+        |)""".stripMargin, 1)
+    val (ctesB, selB) = covBlock("b",
+      s"""sig_b AS (
+         |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
+         |         ${Acronym.sql("role_seq")} AS sig_1
+         |  FROM normalized
+         |  WHERE substring(head_text, 1, 6) != ''
+         |    AND ${Acronym.sql("role_seq")} != ''
+         |)""".stripMargin, 2)
+    val (ctesC, selC) = covBlock("c",
+      s"""sig_c AS (
+         |  SELECT conv_id, sig_0 FROM (
+         |    SELECT conv_id,
+         |      unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
+         |    FROM normalized)
+         |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
+         |)""".stripMargin, 1)
+    OracleSql.materialize(
+      OracleSql.withNormalized(
+        ctesA ++ ctesB ++ ctesC ++ Seq(OracleSql.labelsCte),
+        Seq(selA, selB, selC).mkString("\nUNION\n")),
+      Seq("transcripts", "normalized", "sig_a", "cap_a",
+        "sig_b", "cap_b", "sig_c", "cap_c", "labels"))
   }
 
   /** q13/q14 need WITH RECURSIVE, which must prefix the whole WITH

@@ -376,15 +376,20 @@ final class Learner(
       .sortBy(s => singles(s).key)(Ordering[(Double, Long, Long)].reverse)
   }
 
-  /** Distinct labeled POSITIVE pairs covered by ANY of `conjs` — the
-    * union counterpart of [[scoreBatch]]'s per-conjunction coverage
-    * arm, same scale shape: one map-only incidence pass over each
-    * cached signature table, one grouped count for the cap-surviving
-    * blocks, coverage joins on the labeled slice only. Feeds
-    * [[learn]]'s escalation guard.
+  /** Distinct labeled POSITIVE pairs covered by ANY of `conjs` (both
+    * ends share a cap-surviving compound key of some conjunction) —
+    * the union counterpart of [[scoreBatch]]'s per-conjunction
+    * coverage arm, same scale shape: one map-only incidence pass over
+    * each cached signature table, one grouped count for the
+    * cap-surviving blocks, coverage joins on the labeled slice only.
+    * Feeds [[learn]]'s escalation guard; oracle-checked as
+    * q60_coverage_guard.
     */
-  private[graft] def coveredPositives(conjs: Seq[Seq[String]]): Long = {
-    if (conjs.isEmpty) return 0L
+  def coveredPairs(conjs: Seq[Seq[String]]): DataFrame = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    if (conjs.isEmpty)
+      return Seq.empty[(String, String)].toDF("id_l", "id_r")
     val arr = array(conjs.zipWithIndex.map { case (c, i) =>
       struct(lit(i.toString).as("_x"), combosCol(c).as("_ks")) }: _*)
     def rows(sigs: DataFrame, keep: Seq[Column]) = sigs
@@ -402,8 +407,11 @@ final class Learner(
     labelsCached.filter(col("label") === 1)
       .join(l, "id_l")
       .join(r, "id_r" +: keyCols)
-      .select("id_l", "id_r").distinct().count()
+      .select("id_l", "id_r").distinct()
   }
+
+  private[graft] def coveredPositives(conjs: Seq[Seq[String]]): Long =
+    coveredPairs(conjs).count()
 
   def learn(): Seq[ConjStats] = {
     val singles = scoreBatch(Nil, schemes.map(_.name))
