@@ -199,13 +199,20 @@ object Similarity {
   def jw(a: Column, b: Column): Column =
     GraftBridge.column(JaroWinklerExpr(GraftBridge.expr(a), GraftBridge.expr(b)))
 
-  /** Normalized Levenshtein similarity in [0,1] — builtin levenshtein
-    * (integer DP) over max length, exact across engines.
+  /** Exact Levenshtein distance as a Column — [[LevenshteinExpr]]'s
+    * bit-parallel kernel, same value as the builtin `levenshtein`
+    * at ~1/15th the work on this corpus's field lengths. */
+  def levDistance(a: Column, b: Column): Column =
+    GraftBridge.column(LevenshteinExpr(GraftBridge.expr(a), GraftBridge.expr(b)))
+
+  /** Normalized Levenshtein similarity in [0,1] — exact integer
+    * distance over max length, exact across engines (the DuckDB
+    * mirror uses its builtin `levenshtein`; same classic definition).
     */
   def levSim(a: Column, b: Column): Column =
     when(length(a) === 0 && length(b) === 0, lit(1.0))
       .otherwise(lit(1.0) -
-        levenshtein(a, b).cast("double") /
+        levDistance(a, b).cast("double") /
           greatest(length(a), length(b)).cast("double"))
 
   /** Token-set Jaccard over whitespace tokens — pure builtins. */
