@@ -112,24 +112,37 @@ object Bench {
     val nPairs = allPairs.count()
     // back to scoring width (see phase-1 note)
     spark.conf.set("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
-    // deterministic 1-in-6 sample keeps the timed scoring pass at a
-    // tractable wall time while staying compute-bound (throughput is
-    // per-pair, so the rate is representative of the full set)
-    val pairs = allPairs
-      .filter(pmod(xxhash64(col("id_l"), col("id_r")), lit(6)) === 0)
-      .localCheckpoint()
+    // deterministic 1-in-k sample (SPARK_GRAFT_SCORE_DIVISOR, default
+    // 1 = score ALL pairs): with the bit-parallel Levenshtein the full
+    // 15M-pair pass is ~40 s at 32 cores, and measuring the whole set
+    // keeps the timed region long enough that per-wave stragglers and
+    // the per-pass fixed cost stay amortized at high core counts (the
+    // old 1-in-6 sample was sized for the 3× slower round-4 kernel;
+    // at 9.9 s measured it cost the 8→32 pair 0.88 → 0.61 apparent
+    // efficiency from the un-amortized tail alone)
+    val scoreDiv = sys.env.getOrElse("SPARK_GRAFT_SCORE_DIVISOR", "1").toInt
+    val pairs = if (scoreDiv <= 1) allPairs
+      else allPairs.filter(
+        pmod(xxhash64(col("id_l"), col("id_r")), lit(scoreDiv)) === 0)
+        .localCheckpoint()
 
     // ---- hydration: attach attr values to pairs (shuffle-bound,
     //      reported separately — at cluster scale this is the
     //      co-partitioned pair⋈record join) ----
     val (hydrated, tHydration) = time {
-      // explicit 4-per-core width for the checkpoint the scoring kernel
-      // reads: AQE's size-based coalescing of the join output otherwise
-      // decides the scoring parallelism, and a coarse result makes the
-      // variable-cost similarity pass straggler-bound
+      // explicit 4-per-core width for the materialized table the
+      // scoring kernel reads: AQE's size-based coalescing of the join
+      // output otherwise decides the scoring parallelism, and a coarse
+      // result makes the variable-cost similarity pass
+      // straggler-bound. DISK_ONLY columnar cache, not localCheckpoint:
+      // the FULL hydrated pair set is ~2 GB of strings per million
+      // pairs — at 15M pairs an in-memory checkpoint blows the 8 GB
+      // bench heap, while the columnar cache streams compressed
+      // batches whose decode is distributed work that scales with the
+      // cores under test
       val h = Distances.hydrate(pairs, records, Distances.featureAttrs)
         .repartition(cpus.toInt * 4)
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       h.count()
       h
     }
@@ -147,6 +160,35 @@ object Bench {
     // ---- warmup: codegen + JIT on a small slice of the same plan ----
     evalScored(hydrated.limit(10000))
 
+    // hypervisor STEAL around each timed pass: this guest measures
+    // 2.6% steal-of-busy at 8-wide load but 12.6% at 32-wide (the
+    // host throttles full-width guests) — invisible to loadavg AND to
+    // the short max-of-3 CpuControl windows, yet it directly inflates
+    // a sustained 32-core pass. Recording Δsteal/(Δbusy+Δsteal) from
+    // /proc/stat over exactly the measured region makes the scaling
+    // numbers machine-attributable from the artifact alone.
+    def procCpu(): (Double, Double) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val l = try src.getLines().next() finally src.close()
+        val v = l.trim.split("\\s+").drop(1).take(8).map(_.toDouble)
+        // user nice system idle iowait irq softirq steal
+        (v(0) + v(1) + v(2) + v(5) + v(6), v(7))
+      } catch { case _: Throwable => (-1.0, -1.0) }
+    val passSteal = scala.collection.mutable.Map.empty[Int, Double]
+    def stealAround[T](pass: Int)(f: => T): T = {
+      val (bb, sb) = procCpu()
+      val r = f
+      val (ba, sa) = procCpu()
+      passSteal(pass) =
+        if (bb < 0 || ba < 0) -1.0
+        else {
+          val db = ba - bb; val ds = sa - sb
+          if (db + ds <= 0) 0.0 else 100.0 * ds / (db + ds)
+        }
+      r
+    }
+
     // ---- phase 3: HEADLINE — the similarity kernel over all pairs
     //      (map-only WholeStageCodegen pass; the stage that must scale
     //      with cores). Two identical passes, one before and one after
@@ -155,7 +197,8 @@ object Bench {
     //      inflate a single pass ~5×; best-of-two over a spread-out
     //      window is the standard steady-state estimator (a dipped
     //      CPU control buys a third pass — see retryNeeded below). ----
-    val ((nScored, scoreSum), tScoring1) = time { evalScored(hydrated) }
+    val ((nScored, scoreSum), tScoring1) =
+      stealAround(1) { time { evalScored(hydrated) } }
 
     // ---- other operator queries (single pass each) ----
     val names = Seq("q01_transcripts", "q02_normalize", "q05_inverted_index",
@@ -170,7 +213,7 @@ object Bench {
     }
 
     // second headline pass (see above)
-    val (_, tScoring2) = time { evalScored(hydrated) }
+    val (_, tScoring2) = stealAround(2) { time { evalScored(hydrated) } }
     val ctrlAfter = CpuControl.measure(ctrlThreads)
     // quiescent reference: this box, local[32]-epoch with loadavg ≤ 2,
     // re-pinnable via `sbt "runMain graft.CpuControl"` (keep the
@@ -186,15 +229,24 @@ object Bench {
     val retryNeeded =
       math.min(ctrlBefore, ctrlAfter) / quiescentRef < 0.85
     val (tScoring3, ctrlRetry) = if (retryNeeded) {
-      val (_, t3) = time { evalScored(hydrated) }
+      val (_, t3) = stealAround(3) { time { evalScored(hydrated) } }
       (t3, CpuControl.measure(ctrlThreads))
     } else (-1.0, -1.0)
     val ctrlBest = Seq(ctrlBefore, ctrlAfter, ctrlRetry).max
     val ctrlRatio = ctrlBest / quiescentRef
     val degraded = ctrlRatio < 0.85
-    val tScoring = (Seq(tScoring1, tScoring2) ++
-      (if (retryNeeded) Seq(tScoring3) else Nil)).min
+    val passes = Seq(1 -> tScoring1, 2 -> tScoring2) ++
+      (if (retryNeeded) Seq(3 -> tScoring3) else Nil)
+    val (bestPass, tScoring) = passes.minBy(_._2)
     val pps = nScored / tScoring
+    // steal measured over the BEST pass's exact window; the adjusted
+    // value estimates the rate this guest would sustain at zero steal
+    // (the honest cross-core-count comparator — steal grows with the
+    // width of the run, see the scaling table in BENCH.md)
+    val stealPct = passSteal.getOrElse(bestPass, -1.0)
+    val ppsStealAdjusted =
+      if (stealPct >= 0 && stealPct < 100) pps / (1.0 - stealPct / 100.0)
+      else pps
 
     // ---- e2e LEARNED pipeline at the bench SF: the greedy-DP
     //      conjunction learner + budgeted blocking + ML classifier +
@@ -258,6 +310,8 @@ object Bench {
       s""""cpu_control_quiescent_ref":$quiescentRef,""" +
       s""""cpu_control_ratio":$ctrlRatio,"epoch_degraded":$degraded,""" +
       s""""value_cpu_normalized":$ppsNorm,""" +
+      s""""cpu_steal_pct":$stealPct,""" +
+      s""""value_steal_adjusted":$ppsStealAdjusted,""" +
       s""""loadavg_start":$loadavgStart,"loadavg_end":$loadavg,""" +
       s""""heap_gb":${math.round(heapGb * 10) / 10.0}}"""
     // stdout for the driver's line parser (build.sbt forwards forked

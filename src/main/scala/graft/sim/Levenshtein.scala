@@ -32,53 +32,75 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Levenshtein {
 
-  /** per-thread scratch for the multi-block path: Peq (128 ASCII
-    * chars × W blocks, flattened) + Pv + Mv — the kernel runs
-    * millions of times per task; per-call allocation would dominate
-    * via GC at high core counts. Grown to the largest W seen. */
+  /** per-thread scratch: Peq (128 ASCII chars × W blocks, flattened)
+    * + Pv + Mv for the multi-block path, plus two OPERAND buffers the
+    * UTF8Strings are copied into — `getBytes` allocates a fresh array
+    * for any string that is a slice of a larger page (every string
+    * read out of a columnar cache batch or an UnsafeRow is), and at
+    * millions of calls per task that garbage throttles the kernel's
+    * core-count scaling long before the ALUs do. The kernel runs
+    * allocation-free after warm-up. */
   private final class Scratch {
     var w: Int = 0
     var peq: Array[Long] = null
     var pv: Array[Long] = null
     var mv: Array[Long] = null
+    var bufA: Array[Byte] = new Array[Byte](256)
+    var bufB: Array[Byte] = new Array[Byte](256)
     def ensure(wNeed: Int): Unit = if (wNeed > w) {
       w = wNeed
       peq = new Array[Long](128 * wNeed)
       pv = new Array[Long](wNeed)
       mv = new Array[Long](wNeed)
     }
+    def a(n: Int): Array[Byte] = {
+      if (bufA.length < n) bufA = new Array[Byte](n * 2)
+      bufA
+    }
+    def b(n: Int): Array[Byte] = {
+      if (bufB.length < n) bufB = new Array[Byte](n * 2)
+      bufB
+    }
   }
   private val scratch = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
   }
 
-  private def isAscii(b: Array[Byte]): Boolean = {
+  private def isAscii(b: Array[Byte], n: Int): Boolean = {
     var i = 0
-    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    while (i < n) { if (b(i) < 0) return false; i += 1 }
     true
   }
 
   def distanceUTF8(a: UTF8String, b: UTF8String): Int = {
-    val ab = a.getBytes; val bb = b.getBytes
-    if (ab.length == 0 || bb.length == 0) {
+    val la = a.numBytes(); val lb = b.numBytes()
+    if (la == 0 || lb == 0) {
       // distance to empty = other's LENGTH in code points
-      if (ab.length == 0 && bb.length == 0) 0
-      else if (ab.length == 0) b.numChars()
+      if (la == 0 && lb == 0) 0
+      else if (la == 0) b.numChars()
       else a.numChars()
-    } else if (isAscii(ab) && isAscii(bb)) {
-      if (java.util.Arrays.equals(ab, bb)) 0
-      else if (ab.length <= bb.length) distanceAscii(ab, bb)
-      else distanceAscii(bb, ab)
-    } else a.levenshteinDistance(b)
+    } else if (a.equals(b)) 0
+    else {
+      val s = scratch.get()
+      val ab = s.a(la)
+      a.writeToMemory(ab, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      val bb = s.b(lb)
+      b.writeToMemory(bb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      if (isAscii(ab, la) && isAscii(bb, lb)) {
+        if (la <= lb) distanceAscii(ab, la, bb, lb)
+        else distanceAscii(bb, lb, ab, la)
+      } else a.levenshteinDistance(b)
+    }
   }
 
-  /** pattern p (m = p.length ≤ t.length), single-block or chained. */
-  private def distanceAscii(p: Array[Byte], t: Array[Byte]): Int =
-    if (p.length <= 64) distance1(p, t) else distanceW(p, t)
+  /** pattern p (m ≤ n), single-block or chained. */
+  private def distanceAscii(p: Array[Byte], m: Int,
+                            t: Array[Byte], n: Int): Int =
+    if (m <= 64) distance1(p, m, t, n) else distanceW(p, m, t, n)
 
   /** m ≤ 64: all state in registers, Peq in a local 128-slot table. */
-  private def distance1(p: Array[Byte], t: Array[Byte]): Int = {
-    val m = p.length; val n = t.length
+  private def distance1(p: Array[Byte], m: Int,
+                        t: Array[Byte], n: Int): Int = {
     val s = scratch.get(); s.ensure(1)
     val peq = s.peq
     var i = 0
@@ -111,8 +133,8 @@ object Levenshtein {
 
   /** m > 64: W = ⌈m/64⌉ blocks, horizontal carry chained low→high;
     * score tracked at bit (m−1) mod 64 of the last block. */
-  private def distanceW(p: Array[Byte], t: Array[Byte]): Int = {
-    val m = p.length; val n = t.length
+  private def distanceW(p: Array[Byte], m: Int,
+                        t: Array[Byte], n: Int): Int = {
     val w = (m + 63) >> 6
     val s = scratch.get(); s.ensure(w)
     val peq = s.peq; val pv = s.pv; val mv = s.mv
