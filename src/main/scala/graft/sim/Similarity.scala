@@ -40,6 +40,11 @@ object JaroWinkler {
                         s2: Array[Byte], len2: Int): Double = {
     // DuckDB (the oracle) returns 0 when EITHER side is empty
     if (len1 == 0 || len2 == 0) return 0.0
+    // long strings take the bit-parallel matching phase (identical
+    // greedy lowest-index semantics, word ops instead of a byte scan);
+    // short ones keep the plain scan — its setup-free inner loop wins
+    // below ~32 chars, and head/role fields live there
+    if (math.max(len1, len2) > 32) return jaroBits(s1, len1, s2, len2)
     val window = math.max(math.max(len1, len2) / 2 - 1, 0)
     val f = flags(len1 + len2)
     var m = 0
@@ -73,6 +78,99 @@ object JaroWinkler {
     // DuckDB counts transposition pairs with INTEGER division (an odd
     // trailing mismatch is dropped) — pinned bit-exact on 8000 random
     // cases against jaro_winkler_similarity
+    val mt = t / 2
+    (m.toDouble / len1 + m.toDouble / len2 + (m - mt).toDouble / m) / 3.0
+  }
+
+  /** per-thread scratch for [[jaroBits]]: per-char position bitmasks
+    * of s2 (128 ASCII chars × W 64-bit blocks, flattened) plus the
+    * matched-position mask. Grown to the largest W seen; Peq rows are
+    * selectively cleared after use so the table stays all-zero
+    * between calls. */
+  private final class BitScratch {
+    var w: Int = 0
+    var peq: Array[Long] = null
+    var matched: Array[Long] = null
+    def ensure(wNeed: Int): Unit = if (wNeed > w) {
+      w = wNeed
+      peq = new Array[Long](128 * wNeed)
+      matched = new Array[Long](wNeed)
+    }
+  }
+  private val bitScratch = new ThreadLocal[BitScratch] {
+    override def initialValue(): BitScratch = new BitScratch
+  }
+
+  /** Jaro with the MATCHING phase bit-parallel: candidate positions
+    * for s1(i) are `Peq2[c] & ~matched & windowMask(i)`, and the
+    * greedy lowest-index match is the lowest set bit — O(W) word ops
+    * per character instead of an O(window) byte scan (window ≈ the
+    * whole other string for Jaro's max/2−1 definition). Semantics are
+    * EXACTLY [[jaroBytes]]'s scan: first unmatched occurrence within
+    * the inclusive [i−window, i+window] band, integer-division
+    * transposition pairs — the equivalence is spec-pinned against the
+    * scalar kernel across the 32/64/128-char boundaries.
+    */
+  private def jaroBits(s1: Array[Byte], len1: Int,
+                       s2: Array[Byte], len2: Int): Double = {
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val w2 = (len2 + 63) >> 6
+    val s = bitScratch.get(); s.ensure(w2)
+    val peq = s.peq; val matched = s.matched
+    var j = 0
+    while (j < len2) {
+      java.util.Arrays.fill(peq, s2(j) * w2, s2(j) * w2 + w2, 0L); j += 1
+    }
+    j = 0
+    while (j < len2) {
+      peq(s2(j) * w2 + (j >> 6)) |= 1L << (j & 63); j += 1
+    }
+    java.util.Arrays.fill(matched, 0, w2, 0L)
+    val f = flags(len1) // s1-side matched booleans only
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      if (lo <= hi) {
+        val c = s1(i) * w2
+        val bLo = lo >> 6; val bHi = hi >> 6
+        var b = bLo
+        var done = false
+        while (b <= bHi && !done) {
+          var mask = peq(c + b) & ~matched(b)
+          if (b == bLo) mask &= -1L << (lo & 63)
+          if (b == bHi) mask &= -1L >>> (63 - (hi & 63))
+          if (mask != 0L) {
+            matched(b) |= mask & -mask // lowest set bit = lowest j
+            f(i) = true; m += 1; done = true
+          }
+          b += 1
+        }
+      }
+      i += 1
+    }
+    // restore the shared Peq rows to zero (only the rows s2 touched)
+    j = 0
+    while (j < len2) {
+      java.util.Arrays.fill(peq, s2(j) * w2, s2(j) * w2 + w2, 0L); j += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: pair matched s1 chars (ascending i) with matched
+    // s2 positions (ascending bit order) — same walk as the scalar
+    var t = 0
+    var b = 0
+    var cur = matched(0)
+    i = 0
+    while (i < len1) {
+      if (f(i)) {
+        while (cur == 0L) { b += 1; cur = matched(b) }
+        val k = (b << 6) + java.lang.Long.numberOfTrailingZeros(cur)
+        cur &= cur - 1
+        if (s1(i) != s2(k)) t += 1
+      }
+      i += 1
+    }
     val mt = t / 2
     (m.toDouble / len1 + m.toDouble / len2 + (m - mt).toDouble / m) / 3.0
   }

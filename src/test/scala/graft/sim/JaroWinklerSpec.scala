@@ -46,6 +46,33 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("bit-parallel matching phase (UTF8 byte path, >32 chars) is " +
+    "bit-identical to the scalar char kernel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(13)
+    val alphabets = Seq("ab", "abcde", "abcdefghijklmnop _.")
+    // lengths span the 32-char dispatch threshold and the 64/128-bit
+    // block boundaries of the position masks
+    val lens = Seq(0, 1, 20, 31, 32, 33, 63, 64, 65, 100, 127, 128,
+      129, 200, 520)
+    (0 until 3000).foreach { k =>
+      val alpha = alphabets(k % alphabets.size)
+      def mk = {
+        val n = lens(rnd.nextInt(lens.size))
+        (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val (a, b) = (mk, mk)
+      val viaBytes = JaroWinkler.jaroWinklerUTF8(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val viaChars = JaroWinkler.jaroWinkler(a, b)
+      assert(viaBytes == viaChars,
+        s"len ${a.length}/${b.length}: $viaBytes vs $viaChars a=$a b=$b")
+      val jBytes = JaroWinkler.jaroUTF8(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(jBytes == JaroWinkler.jaro(a, b), s"jaro len ${a.length}/${b.length}")
+    }
+  }
+
   test("catalyst expression path (codegen) agrees with the kernel") {
     val df = golden.map { case (a, b, _) => (a, b) }.toDF("a", "b")
     val got = df.select(Similarity.jw(col("a"), col("b"))).collect()
