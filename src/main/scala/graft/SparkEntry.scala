@@ -501,10 +501,16 @@ object SparkEntry {
       val learner = new graft.block.Learner(records(s, dir),
         Labels.plantedLabels(s, dir), Seq("head_text", "role_seq"),
         maxBlockSize = Cap)
-      learner.coveredPairs(Seq(
+      val covered = learner.coveredPairs(Seq(
         Seq("first_nchars_6_head_text"),
         Seq("first_nchars_6_head_text", "acronym_role_seq"),
         Seq("find_ngrams_6_head_text")))
+      // the Learner's caches exist for repeated DP batches; this query
+      // reads each table once, so drop them immediately — the returned
+      // plan recomputes from source and nothing stays pinned in the
+      // shared session after the dump
+      learner.unpersist()
+      covered
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -782,46 +788,61 @@ object SparkEntry {
   private def docOracle(select: String): String =
     "WITH " + graft.text.TextOps.corpusCte + "\n" + select
 
+  // ---- shared q45/q60 scaffolding: a changed cap or signature filter
+  //      must reach BOTH oracles or they silently diverge ----
+
+  /** cap-surviving-block CTE for `sig_<tag>` (nSigs signature cols). */
+  private def capCte(tag: String, nSigs: Int): String = {
+    val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
+    s"""cap_$tag AS (
+       |  SELECT * FROM sig_$tag WHERE ($sigs) IN (
+       |    SELECT ($sigs) FROM sig_$tag GROUP BY $sigs
+       |    HAVING count(*) <= $Cap)
+       |)""".stripMargin
+  }
+  private def sigEqs(nSigs: Int): String =
+    (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i").mkString(" AND ")
+
+  /** signature CTEs shared by q45 and q60 (same filters as
+    * `Schemes`/`Learner.sigTable` validation). */
+  private def sigPrefixCte(tag: String, n: Int): String =
+    s"""sig_$tag AS (
+       |  SELECT conv_id, substring(head_text, 1, $n) AS sig_0 FROM normalized
+       |  WHERE substring(head_text, 1, $n) != ''
+       |)""".stripMargin
+  private def sigPrefix6AcronymCte(tag: String): String =
+    s"""sig_$tag AS (
+       |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
+       |         ${Acronym.sql("role_seq")} AS sig_1
+       |  FROM normalized
+       |  WHERE substring(head_text, 1, 6) != ''
+       |    AND ${Acronym.sql("role_seq")} != ''
+       |)""".stripMargin
+  private def sigNgram6Cte(tag: String): String =
+    s"""sig_$tag AS (
+       |  SELECT conv_id, sig_0 FROM (
+       |    SELECT conv_id,
+       |      unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
+       |    FROM normalized)
+       |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
+       |)""".stripMargin
+
   /** q45: per-conjunction learner stats mirrored in SQL — one renamed
     * capped-pair CTE block per conjunction, unioned stats. */
   private def conjScoresOracle: String = {
-    def cappedBlock(tag: String, sigsCte: String, nSigs: Int): Seq[String] = {
-      val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
-      val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i")
-        .mkString(" AND ")
+    def cappedBlock(tag: String, sigsCte: String, nSigs: Int): Seq[String] =
       Seq(sigsCte,
-        s"""cap_$tag AS (
-           |  SELECT * FROM sig_$tag WHERE ($sigs) IN (
-           |    SELECT ($sigs) FROM sig_$tag GROUP BY $sigs
-           |    HAVING count(*) <= $Cap)
-           |),
+        capCte(tag, nSigs) +
+        s""",
            |pairs_$tag AS (
            |  SELECT DISTINCT l.conv_id AS id_l, r.conv_id AS id_r
-           |  FROM cap_$tag l JOIN cap_$tag r ON $eqs AND l.conv_id < r.conv_id
+           |  FROM cap_$tag l JOIN cap_$tag r
+           |    ON ${sigEqs(nSigs)} AND l.conv_id < r.conv_id
            |)""".stripMargin)
-    }
     val blocks =
-      cappedBlock("a",
-        """sig_a AS (
-          |  SELECT conv_id, substring(head_text, 1, 8) AS sig_0 FROM normalized
-          |  WHERE substring(head_text, 1, 8) != ''
-          |)""".stripMargin, 1) ++
-      cappedBlock("b",
-        s"""sig_b AS (
-           |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
-           |         ${Acronym.sql("role_seq")} AS sig_1
-           |  FROM normalized
-           |  WHERE substring(head_text, 1, 6) != ''
-           |    AND ${Acronym.sql("role_seq")} != ''
-           |)""".stripMargin, 2) ++
-      cappedBlock("c",
-        s"""sig_c AS (
-           |  SELECT conv_id, sig_0 FROM (
-           |    SELECT conv_id,
-           |      unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
-           |    FROM normalized)
-           |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
-           |)""".stripMargin, 1)
+      cappedBlock("a", sigPrefixCte("a", 8), 1) ++
+      cappedBlock("b", sigPrefix6AcronymCte("b"), 2) ++
+      cappedBlock("c", sigNgram6Cte("c"), 1)
     def stats(name: String, tag: String) =
       s"""SELECT '$name' AS conj, count(*) AS n_pairs,
          |  CAST(coalesce(sum(CASE WHEN label = 1 THEN 1 END), 0) AS BIGINT) AS positives,
@@ -854,48 +875,21 @@ object SparkEntry {
     * UNION (not UNION ALL) dedupes across and within conjunctions,
     * mirroring the learner's final `distinct()`. */
   private def coverageGuardOracle: String = {
-    def covBlock(tag: String, sigsCte: String,
-                 nSigs: Int): (Seq[String], String) = {
-      val sigs = (0 until nSigs).map(i => s"sig_$i").mkString(", ")
-      val eqs = (0 until nSigs).map(i => s"l.sig_$i = r.sig_$i")
-        .mkString(" AND ")
-      (Seq(sigsCte,
-        s"""cap_$tag AS (
-           |  SELECT * FROM sig_$tag WHERE ($sigs) IN (
-           |    SELECT ($sigs) FROM sig_$tag GROUP BY $sigs
-           |    HAVING count(*) <= $Cap)
-           |)""".stripMargin),
-        s"""SELECT p.id_l, p.id_r
-           |FROM labels p
-           |JOIN cap_$tag l ON p.id_l = l.conv_id
-           |JOIN cap_$tag r ON p.id_r = r.conv_id AND $eqs
-           |WHERE p.label = 1""".stripMargin)
-    }
-    val (ctesA, selA) = covBlock("a",
-      """sig_a AS (
-        |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0
-        |  FROM normalized WHERE substring(head_text, 1, 6) != ''
-        |)""".stripMargin, 1)
-    val (ctesB, selB) = covBlock("b",
-      s"""sig_b AS (
-         |  SELECT conv_id, substring(head_text, 1, 6) AS sig_0,
-         |         ${Acronym.sql("role_seq")} AS sig_1
-         |  FROM normalized
-         |  WHERE substring(head_text, 1, 6) != ''
-         |    AND ${Acronym.sql("role_seq")} != ''
-         |)""".stripMargin, 2)
-    val (ctesC, selC) = covBlock("c",
-      s"""sig_c AS (
-         |  SELECT conv_id, sig_0 FROM (
-         |    SELECT conv_id,
-         |      unnest(list_distinct(${OracleSql.ngramList("head_text", 6)})) AS sig_0
-         |    FROM normalized)
-         |  WHERE sig_0 IS NOT NULL AND sig_0 != ''
-         |)""".stripMargin, 1)
+    def coveredSelect(tag: String, nSigs: Int): String =
+      s"""SELECT p.id_l, p.id_r
+         |FROM labels p
+         |JOIN cap_$tag l ON p.id_l = l.conv_id
+         |JOIN cap_$tag r ON p.id_r = r.conv_id AND ${sigEqs(nSigs)}
+         |WHERE p.label = 1""".stripMargin
+    val ctes = Seq(
+      sigPrefixCte("a", 6), capCte("a", 1),
+      sigPrefix6AcronymCte("b"), capCte("b", 2),
+      sigNgram6Cte("c"), capCte("c", 1))
     OracleSql.materialize(
       OracleSql.withNormalized(
-        ctesA ++ ctesB ++ ctesC ++ Seq(OracleSql.labelsCte),
-        Seq(selA, selB, selC).mkString("\nUNION\n")),
+        ctes ++ Seq(OracleSql.labelsCte),
+        Seq(coveredSelect("a", 1), coveredSelect("b", 2),
+          coveredSelect("c", 1)).mkString("\nUNION\n")),
       Seq("transcripts", "normalized", "sig_a", "cap_a",
         "sig_b", "cap_b", "sig_c", "cap_c", "labels"))
   }

@@ -32,45 +32,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Levenshtein {
 
-  /** per-thread scratch: Peq (128 ASCII chars × W blocks, flattened)
-    * + Pv + Mv for the multi-block path, plus two OPERAND buffers the
-    * UTF8Strings are copied into — `getBytes` allocates a fresh array
-    * for any string that is a slice of a larger page (every string
-    * read out of a columnar cache batch or an UnsafeRow is), and at
-    * millions of calls per task that garbage throttles the kernel's
-    * core-count scaling long before the ALUs do. The kernel runs
+  /** per-thread DP scratch: Peq (128 ASCII chars × W blocks,
+    * flattened) + Pv + Mv for the multi-block path; operand copies go
+    * through the kernels' shared [[OperandBuffers]] (see there for
+    * why getBytes is off-limits on this path). The kernel runs
     * allocation-free after warm-up. */
   private final class Scratch {
     var w: Int = 0
     var peq: Array[Long] = null
     var pv: Array[Long] = null
     var mv: Array[Long] = null
-    var bufA: Array[Byte] = new Array[Byte](256)
-    var bufB: Array[Byte] = new Array[Byte](256)
     def ensure(wNeed: Int): Unit = if (wNeed > w) {
       w = wNeed
       peq = new Array[Long](128 * wNeed)
       pv = new Array[Long](wNeed)
       mv = new Array[Long](wNeed)
     }
-    def a(n: Int): Array[Byte] = {
-      if (bufA.length < n) bufA = new Array[Byte](n * 2)
-      bufA
-    }
-    def b(n: Int): Array[Byte] = {
-      if (bufB.length < n) bufB = new Array[Byte](n * 2)
-      bufB
-    }
   }
   private val scratch = new ThreadLocal[Scratch] {
     override def initialValue(): Scratch = new Scratch
   }
-
-  private def isAscii(b: Array[Byte], n: Int): Boolean = {
-    var i = 0
-    while (i < n) { if (b(i) < 0) return false; i += 1 }
-    true
-  }
+  import OperandBuffers.isAscii
 
   def distanceUTF8(a: UTF8String, b: UTF8String): Int = {
     val la = a.numBytes(); val lb = b.numBytes()
@@ -81,11 +63,8 @@ object Levenshtein {
       else a.numChars()
     } else if (a.equals(b)) 0
     else {
-      val s = scratch.get()
-      val ab = s.a(la)
-      a.writeToMemory(ab, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-      val bb = s.b(lb)
-      b.writeToMemory(bb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      val o = OperandBuffers.threadLocal.get()
+      val ab = o.copyA(a); val bb = o.copyB(b)
       if (isAscii(ab, la) && isAscii(bb, lb)) {
         if (la <= lb) distanceAscii(ab, la, bb, lb)
         else distanceAscii(bb, lb, ab, la)

@@ -187,33 +187,15 @@ object JaroWinkler {
   /** Zero-copy path over Spark's UTF8String (ASCII fast path; general
     * code points fall back to a per-char byte-widening copy which is
     * still allocation-light). */
-  /** per-thread OPERAND buffers — `UTF8String.getBytes` allocates a
-    * copy for any string that is a slice of a larger page (strings
-    * out of columnar cache batches / UnsafeRows always are), and at
-    * millions of kernel calls per task that garbage throttles
-    * core-count scaling. Copy into reusable buffers instead: the
-    * kernel runs allocation-free after warm-up. */
-  private final class Operands {
-    var a: Array[Byte] = new Array[Byte](256)
-    var b: Array[Byte] = new Array[Byte](256)
-    def bufA(n: Int): Array[Byte] = {
-      if (a.length < n) a = new Array[Byte](n * 2); a
-    }
-    def bufB(n: Int): Array[Byte] = {
-      if (b.length < n) b = new Array[Byte](n * 2); b
-    }
-  }
-  private val operands = new ThreadLocal[Operands] {
-    override def initialValue(): Operands = new Operands
-  }
+  // operand copies go through the kernels' shared thread-local
+  // buffers — see [[OperandBuffers]] for why getBytes is off-limits
+  // on this path
+  import OperandBuffers.isAscii
 
   def jaroWinklerUTF8(a: UTF8String, b: UTF8String): Double = {
     val la = a.numBytes(); val lb = b.numBytes()
-    val o = operands.get()
-    val ab = o.bufA(la)
-    a.writeToMemory(ab, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-    val bb = o.bufB(lb)
-    b.writeToMemory(bb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val o = OperandBuffers.threadLocal.get()
+    val ab = o.copyA(a); val bb = o.copyB(b)
     if (isAscii(ab, la) && isAscii(bb, lb))
       winkler(jaroBytes(ab, la, bb, lb), ab, la, bb, lb)
     else jaroWinkler(a.toString, b.toString)
@@ -222,19 +204,10 @@ object JaroWinkler {
   /** Plain Jaro over UTF8String (same kernel, no Winkler boost). */
   def jaroUTF8(a: UTF8String, b: UTF8String): Double = {
     val la = a.numBytes(); val lb = b.numBytes()
-    val o = operands.get()
-    val ab = o.bufA(la)
-    a.writeToMemory(ab, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
-    val bb = o.bufB(lb)
-    b.writeToMemory(bb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+    val o = OperandBuffers.threadLocal.get()
+    val ab = o.copyA(a); val bb = o.copyB(b)
     if (isAscii(ab, la) && isAscii(bb, lb)) jaroBytes(ab, la, bb, lb)
     else jaro(a.toString, b.toString)
-  }
-
-  private def isAscii(b: Array[Byte], n: Int): Boolean = {
-    var i = 0
-    while (i < n) { if (b(i) < 0) return false; i += 1 }
-    true
   }
 
   /** general kernel over char sequences (identical logic; used for
