@@ -316,7 +316,12 @@ object Similarity {
           greatest(length(a), length(b)).cast("double"))
 
   /** Token-set Jaccard over whitespace tokens — pure builtins. */
-  def tokenJaccard(a: Column, b: Column): Column = {
+  def tokenJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(TokenJaccardExpr(GraftBridge.expr(a), GraftBridge.expr(b)))
+
+  /** the builtin-chain formulation tokenJaccard used to be — kept as
+    * the independent reference the kernel is spec-pinned against. */
+  private[sim] def tokenJaccardBuiltin(a: Column, b: Column): Column = {
     val ta = array_distinct(filter(split(a, " "), w => w =!= ""))
     val tb = array_distinct(filter(split(b, " "), w => w =!= ""))
     val inter = size(array_intersect(ta, tb)).cast("double")

@@ -80,6 +80,29 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSuite {
     assert(got == golden.map(_._3))
   }
 
+  test("tokenJaccard kernel is bit-identical to the builtin chain") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    val words = Seq("alpha", "beta", "gamma", "x", "yy", "日本語", "é",
+      "alpha") // repeated word → in-side dup dedupe exercised
+    def mk = {
+      val n = rnd.nextInt(12)
+      // random runs of spaces between tokens, plus leading/trailing
+      (0 until n).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" " * (1 + rnd.nextInt(3))) +
+        (if (rnd.nextBoolean()) "  " else "")
+    }
+    val rows = (0 until 800).map(_ => (mk, mk)) ++
+      Seq(("", ""), ("", "a b"), ("   ", "a"), ("a b c", "c b a"),
+        ("a a a", "a"), ("ab", "ab "))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+      Similarity.tokenJaccard(col("a"), col("b")).as("fast"),
+      Similarity.tokenJaccardBuiltin(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(bad.count() == 0)
+  }
+
   test("levSim golden") {
     val df = Seq(("kitten", "sitting")).toDF("a", "b")
     val got = df.select(Similarity.levSim(col("a"), col("b"))).head().getDouble(0)
