@@ -79,17 +79,17 @@ object Blocking {
     inv.join(counts, sigCols.map(_.toString), "left_semi")
   }
 
-  /** J1: candidate pairs for one conjunction — inverted-index self-join
-    * with canonical ordering (dedupe mode: idL < idR, blocking.py:258-259)
-    * and dedup across multi-signature hits (blocking.py:270).
+  /** J1: candidate pairs for one conjunction — grouped-block pair
+    * generation with canonical ordering (dedupe mode: idL < idR,
+    * blocking.py:258-259) and dedup across multi-signature hits
+    * (blocking.py:270). Same pair set as the former inverted-index
+    * self-join, one fewer corpus-scale exchange: see [[blockPairs]].
     */
   def candidatePairs(records: DataFrame, conjunction: Seq[BoundScheme],
                      idCol: String = "conv_id",
-                     maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
-    val inv = capHotSignatures(
-      invertedIndex(records, conjunction, idCol), maxBlockSize)
-    selfJoinPairs(inv, idCol)
-  }
+                     maxBlockSize: Int = DefaultMaxBlockSize): DataFrame =
+    blockPairs(invertedIndex(records, conjunction, idCol), idCol,
+      maxBlockSize)
 
   /** J2: record-linkage variant — pairs cross two tables, no ordering
     * constraint (blocking.py:260-261).
@@ -170,15 +170,48 @@ object Blocking {
     (l, r, sigs)
   }
 
-  private def selfJoinPairs(inv: DataFrame, idCol: String): DataFrame = {
-    val sigs = inv.columns.filter(_.startsWith("sig_")).toSeq
-    val l = inv.select((col(idCol).as("id_l") +: sigs.map(col)): _*)
-    val r = inv.select((col(idCol).as("id_r") +: sigs.map(col)): _*)
-    l.join(r, sigs)
-      .filter(col("id_l") < col("id_r"))
-      .select(col("id_l"), col("id_r"))
+  /** Pairs from cap-surviving blocks WITHOUT a sort-merge self-join
+    * (guide §2.4 "remove shuffles outright" + §2.3 "aggregate before
+    * you shuffle"): the block-size counts shuffle only (sig, partial
+    * count) rows (map-side partial agg), the semi-join leaves the
+    * inverted index hash-partitioned on the signature tuple, and the
+    * member-collecting groupBy REUSES that partitioning — so the
+    * inverted index crosses exactly one exchange, versus two full
+    * exchanges + two sorts for the former l⋈r self-join. Pairs are then
+    * emitted map-side from each block's sorted member array (`i < j`
+    * over a sorted distinct array ≡ the join's `id_l < id_r` — members
+    * of a block are distinct records, array_sort uses the same binary
+    * string order as the `<` comparison). collect_list is bounded by
+    * the `_block_n <= maxBlockSize` filter applied BEFORE the semi-join,
+    * so no aggregation buffer ever holds a hot block; `_block_n > 1`
+    * additionally drops singleton blocks (they emit no pairs) before
+    * they reach the collect.
+    */
+  private def blockPairs(inv: DataFrame, idCol: String,
+                         maxBlockSize: Int): DataFrame = {
+    val sigNames = inv.columns.filter(_.startsWith("sig_")).toSeq
+    val sigCols = sigNames.map(col)
+    val counts = inv.groupBy(sigCols: _*)
+      .agg(count(lit(1)).as("_block_n"))
+      .filter(col("_block_n") > 1 && col("_block_n") <= maxBlockSize)
+      .drop("_block_n")
+    val members = inv.join(counts, sigNames, "left_semi")
+      .groupBy(sigCols: _*)
+      .agg(array_sort(collect_list(col(idCol))).as("_ids"))
+    members
+      .select(explode(pairCombinations(col("_ids"))).as("_p"))
+      .select(col("_p.id_l").as("id_l"), col("_p.id_r").as("id_r"))
       .dropDuplicates("id_l", "id_r")
   }
+
+  /** All i<j combinations of a sorted member array as (id_l, id_r)
+    * structs — evaluated map-side, bounded by the block-size cap
+    * (≤ C(maxBlockSize, 2) structs per block). */
+  private def pairCombinations(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(
+        slice(ids, i + lit(2), greatest(size(ids) - i - lit(1), lit(0))),
+        y => struct(x.as("id_l"), y.as("id_r")))))
 
   /** Sorted-neighborhood blocking (the north star's third blocking-key
     * family next to n-gram conjunctions and MinHash/LSH bands): order

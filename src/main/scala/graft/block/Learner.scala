@@ -148,12 +148,16 @@ final class Learner(
     * one per (record, extension, compound signature) — produced by a
     * PURE PROJECTION over the cached signature table: no join anywhere,
     * so the only shuffle a stats batch ever does is the partial-agg
-    * groupBy on the emitted key.
+    * groupBy on the emitted key. The extension tag is the INT index
+    * into `exts` (callers map back by position), not the scheme-name
+    * string: the tag rides every incidence row through the batch
+    * shuffle, and a 4-byte int vs a ~25-byte name is a third off the
+    * shuffled row (guide §2.3, narrower types).
     */
   private def keyedRows(sigs: DataFrame, base: Seq[String],
                         exts: Seq[String], keep: Seq[Column]): DataFrame = {
-    val extArr = array(exts.map(x =>
-      struct(lit(x).as("_x"), col(sigColName(x)).as("sigs"))): _*)
+    val extArr = array(exts.zipWithIndex.map { case (x, i) =>
+      struct(lit(i).as("_x"), col(sigColName(x)).as("sigs")) }: _*)
     sigs
       .select((keep :+ combosCol(base).as("_bc")) :+
         explode(extArr).as("_e"): _*)
@@ -226,20 +230,40 @@ final class Learner(
       // partial aggregation over map-only incidence rows; the cap is
       // applied to the real sizes, exactly as candidatePairs will apply
       // it at blocking time.
-      // read twice (n_pairs agg + coverage semi-join) → persisted, but
-      // DISK_ONLY with an explicit unpersist below: the surviving-block
-      // table can be tens of millions of rows per batch, and pinning
-      // one per DP step in executor memory (localCheckpoint) OOMed the
-      // 8 GB test JVM halfway through the search
+      // read twice (n_pairs agg + coverage semi-join) → persisted.
+      // MEMORY_AND_DISK (columnar, evictable, lineage kept): the
+      // surviving-block table can be tens of millions of rows per
+      // batch — an un-evictable localCheckpoint OOMed the 8 GB test
+      // JVM, and the round-5 DISK_ONLY answer paid a full disk
+      // write+read per DP batch even when the table fit in memory;
+      // a plain cache spills under pressure instead of pinning.
       val surviving = statsPlan(base, missing)
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val nPairsRows = surviving.groupBy(col("_x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairsPlan = surviving.groupBy(col("_x"))
         .agg(sum(col("_n") * (col("_n") - 1) / 2).cast("long").as("n"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // the n_pairs aggregation and the coverage arm are independent
+      // reads of `surviving` — run them as two CONCURRENT jobs (guide
+      // §2.6: actions are only sequential because the driver calls
+      // them sequentially); the second job's tasks backfill the
+      // first's barrier tail. Concurrent first-materialization of the
+      // cache is safe (per-partition cache locks: one task computes,
+      // the other waits).
+      val nPairsFut = scala.concurrent.Future(
+        nPairsPlan.collect().map(r => missing(r.getInt(0)) -> r.getLong(1))
+          .toMap
+      )(Learner.batchEc)
       // labeled-pair coverage: both ends share a cap-surviving key —
-      // joins touch only the labeled-record slice, never the corpus
+      // joins touch only the labeled-record slice, never the corpus.
+      // The cap-survivor lookup is a DOUBLE BROADCAST semi-join
+      // (guide §3.2 shape): the labeled slice's distinct keys prune
+      // `surviving` map-side (no sort, no exchange of the big table),
+      // and the surviving subset — bounded by the labeled key count —
+      // broadcasts back against the labeled incidence rows.
+      val labKeys = keyedRows(labRecSigs, base, missing, Nil).distinct()
+      val survKeys = surviving.select(keyCols.map(col): _*)
+        .join(broadcast(labKeys), keyCols, "left_semi")
       val labSigs = keyedRows(labRecSigs, base, missing, Seq(col(idCol)))
-        .join(surviving.select(keyCols.map(col): _*), keyCols, "left_semi")
+        .join(broadcast(survKeys), keyCols, "left_semi")
       val l = labSigs.select((col(idCol).as("id_l") +: keyCols.map(col)): _*)
       val r = labSigs.select((col(idCol).as("id_r") +: keyCols.map(col)): _*)
       val covRows = labelsCached
@@ -250,8 +274,10 @@ final class Learner(
         .agg(
           coalesce(sum(when(col("label") === 1, 1L)), lit(0L)).as("pos"),
           coalesce(sum(when(col("label") === 0, 1L)), lit(0L)).as("neg"))
-        .collect().map(r => r.getString(0) ->
+        .collect().map(r => missing(r.getInt(0)) ->
           ((r.getLong(1), r.getLong(2)))).toMap
+      val nPairsRows = scala.concurrent.Await.result(nPairsFut,
+        scala.concurrent.duration.Duration.Inf)
       surviving.unpersist()
       val found = missing.flatMap { x =>
         nPairsRows.get(x).map { n =>
@@ -391,7 +417,7 @@ final class Learner(
     if (conjs.isEmpty)
       return Seq.empty[(String, String)].toDF("id_l", "id_r")
     val arr = array(conjs.zipWithIndex.map { case (c, i) =>
-      struct(lit(i.toString).as("_x"), combosCol(c).as("_ks")) }: _*)
+      struct(lit(i).as("_x"), combosCol(c).as("_ks")) }: _*)
     def rows(sigs: DataFrame, keep: Seq[Column]) = sigs
       .select(keep :+ explode(arr).as("_e"): _*)
       .select((keep :+ col("_e._x").as("_x")) :+
@@ -400,8 +426,15 @@ final class Learner(
     val surviving = rows(corpusSigs, Nil)
       .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_n"))
       .filter(col("_n") > 1 && col("_n") <= maxBlockSize)
+    // same double-broadcast semi shape as [[scoreBatch]]'s coverage arm:
+    // prune the corpus-scale survivor table map-side with the labeled
+    // slice's distinct keys, then broadcast the (labeled-key-bounded)
+    // survivor subset back — no sort or exchange of the big table
+    val labKeys = rows(labRecSigs, Nil).distinct()
+    val survKeys = surviving.select(keyCols.map(col): _*)
+      .join(broadcast(labKeys), keyCols, "left_semi")
     val labSigs = rows(labRecSigs, Seq(col(idCol)))
-      .join(surviving.select(keyCols.map(col): _*), keyCols, "left_semi")
+      .join(broadcast(survKeys), keyCols, "left_semi")
     val l = labSigs.select(col(idCol).as("id_l") +: keyCols.map(col): _*)
     val r = labSigs.select(col(idCol).as("id_r") +: keyCols.map(col): _*)
     labelsCached.filter(col("label") === 1)
@@ -499,6 +532,22 @@ final class Learner(
 }
 
 object Learner {
+  /** Shared pool for the per-batch concurrent n_pairs collect — daemon
+    * threads so a crashed driver never hangs on pool shutdown; sized
+    * 2× the chain default (each chain holds at most one in-flight
+    * batch, each batch at most one future). */
+  private[block] val batchEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "learner-batch-collect")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Same pool, exposed for the pipeline's cache-prewarm overlap
+    * ([[graft.pipeline.Dedupe.run]]). */
+  private[graft] def prewarmEc: scala.concurrent.ExecutionContext = batchEc
+
   /** Concurrent seed DP chains (an execution knob, NOT part of the
     * learned-output semantics — the result is bit-identical at any
     * value, so it deliberately stays OUT of the `conjunctions` stage

@@ -200,6 +200,22 @@ object Dedupe {
     val idScores = idFeatures +
       s";ml=${cfg.useMlClassifier}:${cfg.classifier}"
     val idClusters = idScores + s";threshold=${cfg.threshold}"
+    // TF-IDF weight/norm relations (corpus-scale token aggregations
+    // shared by BOTH featurize call sites below) — created AND
+    // prewarmed here, concurrently with the learner stage (guide §2.6:
+    // overlap independent jobs): the token aggregation depends only on
+    // `records`, and the conjunction search is collect-barrier-heavy,
+    // so the token jobs backfill its idle cores instead of serializing
+    // after it. Cache materialization is lock-safe under concurrency;
+    // a failure here is swallowed and resurfaces on the first real
+    // featurize action.
+    val (tfW0, tfN0) = graft.sim.TfIdf.weights(records, "conv_id",
+      "full_text", graft.sim.TfIdf.DefaultMaxDf, Some(nRecords))
+    val tfW = tfW0.cache()
+    val tfN = tfN0.cache()
+    scala.concurrent.Future {
+      tfN.count(); tfW.count()
+    }(graft.block.Learner.prewarmEc)
     val conjunctions = staged("conjunctions", Seq("records"),
       Some(idConj)) {
       val learner = new Learner(records, labels, cfg.blockingAttrs,
@@ -246,14 +262,8 @@ object Dedupe {
 
     // 6. similarity feature vectors (M1; JW/Levenshtein/Jaccard +
     //    TF-IDF cosine — the north star's batched similarity vector).
-    //    The TF-IDF weight/norm relations are corpus-scale token
-    //    aggregations shared by BOTH featurize call sites (candidate
-    //    pairs here, labeled training pairs in the classifier stage) —
-    //    computed once and cached, not re-tokenized per call.
-    val (tfW0, tfN0) = graft.sim.TfIdf.weights(records, "conv_id",
-      "full_text", graft.sim.TfIdf.DefaultMaxDf, Some(nRecords))
-    val tfW = tfW0.cache()
-    val tfN = tfN0.cache()
+    //    The TF-IDF weight/norm caches were created (and prewarmed)
+    //    above, before the learner stage.
     def featurize(p: DataFrame): DataFrame =
       Distances.featuresFor(p, records, cfg.features)
         .join(graft.sim.TfIdf.cosineWith(p.select("id_l", "id_r"),

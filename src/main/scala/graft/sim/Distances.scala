@@ -23,14 +23,47 @@ import org.apache.spark.sql.functions._
   */
 object Distances {
 
-  /** J4: attach `{attr}_l` / `{attr}_r` value columns to pairs. */
+  /** J4: attach `{attr}_l` / `{attr}_r` value columns to pairs.
+    *
+    * Join strategy (guide §3.1): when the records side is estimated
+    * small enough to broadcast AND the pair side is not the smaller
+    * relation, both aliased record projections are broadcast — the
+    * pair payload then never shuffles through hydration (0 Exchange
+    * instead of 3: pairs-by-id_l, result-by-id_r, plus the records
+    * side twice). When records are the big side (cluster scale, or a
+    * tiny labeled pair set), the hint is omitted and the planner
+    * broadcasts the pair side / falls back to sort-merge exactly as
+    * before. The gate is parameterised (SPARK_GRAFT_HYDRATE_BROADCAST_MB,
+    * default 512 — well under the 8 GB broadcast cap; 0 disables) so a
+    * cluster deployment can size it to executor memory.
+    */
   def hydrate(pairs: DataFrame, records: DataFrame, attrs: Seq[String],
               idCol: String = "conv_id"): DataFrame = {
     val l = records.select((col(idCol).as("id_l") +:
       attrs.map(a => col(a).as(s"${a}_l"))): _*)
     val r = records.select((col(idCol).as("id_r") +:
       attrs.map(a => col(a).as(s"${a}_r"))): _*)
-    pairs.join(l, "id_l").join(r, "id_r")
+    val (lj, rj) =
+      if (broadcastRecordsSide(pairs, records)) (broadcast(l), broadcast(r))
+      else (l, r)
+    pairs.join(lj, "id_l").join(rj, "id_r")
+  }
+
+  /** Records-side broadcast gate for [[hydrate]] — plan-statistics
+    * only, no extra Spark action: records must be estimated under the
+    * (parameterised) byte budget and no larger than the pair side, so
+    * a small labeled pair set keeps its pairs-side broadcast and a
+    * corpus-scale records table keeps the shuffled join. Estimated
+    * sizes only — a false negative keeps the old plan, a false
+    * positive is bounded by the byte budget. */
+  private def broadcastRecordsSide(pairs: DataFrame,
+                                   records: DataFrame): Boolean = {
+    val mb = sys.env.getOrElse("SPARK_GRAFT_HYDRATE_BROADCAST_MB", "512")
+      .toLong
+    if (mb <= 0) return false
+    val rSize = records.queryExecution.optimizedPlan.stats.sizeInBytes
+    val pSize = pairs.queryExecution.optimizedPlan.stats.sizeInBytes
+    rSize <= BigInt(mb) * 1024 * 1024 && rSize <= pSize
   }
 
   /** M1: per-attribute JW distance columns on hydrated pairs. */
