@@ -65,9 +65,21 @@ object TokenSets {
     la - lb
   }
 
-  /** tokenize buf[0,len) on 0x20, insertion-sort token indexes,
-    * dedupe adjacent; returns the distinct count with off/lenArr
-    * holding the sorted distinct tokens. */
+  /** Above this many RAW tokens the one-pass insertion sort (O(t²)
+    * compares/moves) hands off to scan + quicksort + adjacent dedupe
+    * (O(t log t)) — the round-5 kernel insertion-sorted unconditionally,
+    * which regressed quadratically on long-document operands (a 10k-token
+    * field is ~10⁸ byte-compares per row). Small fields stay on the
+    * insertion path: at the tens-of-tokens typical of dedupe attributes
+    * it beats the quicksort's pivot machinery. */
+  private final val QuicksortMinTokens = 48
+
+  /** tokenize buf[0,len) on 0x20, sort token indexes, dedupe adjacent;
+    * returns the distinct count with off/lenArr holding the sorted
+    * distinct tokens. Dispatch: one-pass insertion sort below
+    * [[QuicksortMinTokens]] raw tokens, scan + quicksort + adjacent
+    * dedupe above — identical output order (the byte comparator is the
+    * same total order), only the algorithm differs. */
   private def distinctTokens(buf: Array[Byte], len: Int,
                              off: Array[Int], lenArr: Array[Int]): Int = {
     var n = 0
@@ -95,9 +107,110 @@ object TokenSets {
           off(lo) = start; lenArr(lo) = i - start
           n += 1
         }
+        if (n == QuicksortMinTokens)
+          return distinctTokensLarge(buf, len, i, n, off, lenArr)
       } else i += 1
     }
     n
+  }
+
+  /** Long-operand continuation: the first `sorted` tokens in off/lenArr
+    * are already sorted+distinct (handed over mid-scan by
+    * [[distinctTokens]]); append the remaining raw tokens from
+    * buf[from,len) unsorted, quicksort the whole index range, dedupe
+    * adjacent in place. */
+  private def distinctTokensLarge(buf: Array[Byte], len: Int, from: Int,
+                                  sorted: Int, off0: Array[Int],
+                                  lenArr0: Array[Int]): Int = {
+    var off = off0; var lenArr = lenArr0
+    var n = sorted
+    var i = from
+    while (i < len) {
+      if (buf(i) != ' ') {
+        val start = i
+        while (i < len && buf(i) != ' ') i += 1
+        if (n == off.length) { // grow (caller sized for len/2+1 tokens,
+          // but the handoff path can see more via scratch reuse)
+          off = java.util.Arrays.copyOf(off, n * 2)
+          lenArr = java.util.Arrays.copyOf(lenArr, n * 2)
+        }
+        off(n) = start; lenArr(n) = i - start
+        n += 1
+      } else i += 1
+    }
+    quicksortTokens(buf, off, lenArr, 0, n - 1)
+    // adjacent dedupe in place (comparator is a total order, so equal
+    // tokens are adjacent after the sort)
+    var w = 0
+    var r = 1
+    while (r < n) {
+      if (compareTok(buf, off(w), lenArr(w), off(r), lenArr(r)) != 0) {
+        w += 1
+        off(w) = off(r); lenArr(w) = lenArr(r)
+      }
+      r += 1
+    }
+    if (off ne off0) { // hand results back in the caller's arrays if they
+      // fit (they always do: caller sized to len/2+1 ≥ token count)
+      System.arraycopy(off, 0, off0, 0, w + 1)
+      System.arraycopy(lenArr, 0, lenArr0, 0, w + 1)
+    }
+    if (n == 0) 0 else w + 1
+  }
+
+  /** in-place dual-array quicksort of token indexes by token bytes
+    * (median-of-three pivot, insertion sort below 12 elements). */
+  private def quicksortTokens(buf: Array[Byte], off: Array[Int],
+                              lenArr: Array[Int], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0; var hi = hi0
+    while (lo < hi) {
+      if (hi - lo < 12) {
+        // insertion sort for small ranges
+        var i = lo + 1
+        while (i <= hi) {
+          val o = off(i); val l = lenArr(i)
+          var j = i - 1
+          while (j >= lo && compareTok(buf, off(j), lenArr(j), o, l) > 0) {
+            off(j + 1) = off(j); lenArr(j + 1) = lenArr(j); j -= 1
+          }
+          off(j + 1) = o; lenArr(j + 1) = l
+          i += 1
+        }
+        return
+      }
+      // median-of-three pivot, moved to hi
+      val mid = (lo + hi) >>> 1
+      def swap(a: Int, b: Int): Unit = {
+        val to = off(a); off(a) = off(b); off(b) = to
+        val tl = lenArr(a); lenArr(a) = lenArr(b); lenArr(b) = tl
+      }
+      if (compareTok(buf, off(mid), lenArr(mid), off(lo), lenArr(lo)) < 0)
+        swap(mid, lo)
+      if (compareTok(buf, off(hi), lenArr(hi), off(lo), lenArr(lo)) < 0)
+        swap(hi, lo)
+      if (compareTok(buf, off(hi), lenArr(hi), off(mid), lenArr(mid)) < 0)
+        swap(hi, mid)
+      swap(mid, hi)
+      val po = off(hi); val pl = lenArr(hi)
+      var i = lo - 1
+      var j = lo
+      while (j < hi) {
+        if (compareTok(buf, off(j), lenArr(j), po, pl) <= 0) {
+          i += 1; swap(i, j)
+        }
+        j += 1
+      }
+      swap(i + 1, hi)
+      val p = i + 1
+      // recurse into the smaller half, loop on the larger (O(log t) stack)
+      if (p - lo < hi - p) {
+        quicksortTokens(buf, off, lenArr, lo, p - 1)
+        lo = p + 1
+      } else {
+        quicksortTokens(buf, off, lenArr, p + 1, hi)
+        hi = p - 1
+      }
+    }
   }
 
   def jaccardUTF8(a: UTF8String, b: UTF8String): Double = {

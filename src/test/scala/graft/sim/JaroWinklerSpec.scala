@@ -103,6 +103,31 @@ class JaroWinklerSpec extends AnyFunSuite with SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("tokenJaccard long-document operands: quicksort path is " +
+    "bit-identical to the builtin chain and bounded in time") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    // vocabulary large enough that 5k-token docs cross the 48-distinct
+    // dispatch threshold immediately; sizes straddle the boundary too
+    val vocab = (0 until 3000).map(i => s"w$i")
+    def doc(tokens: Int) =
+      (0 until tokens).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val rows = Seq(40, 47, 48, 49, 96, 500, 5000).flatMap(n =>
+      (0 until 3).map(_ => (doc(n), doc(n)))) ++
+      (0 until 100).map(_ => (doc(rnd.nextInt(200)), doc(rnd.nextInt(200))))
+    val df = rows.toDF("a", "b")
+    val t0 = System.nanoTime()
+    val bad = df.select(
+      Similarity.tokenJaccard(col("a"), col("b")).as("fast"),
+      Similarity.tokenJaccardBuiltin(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(bad.count() == 0)
+    // 121 rows incl. three 5k-token pairs: far under a second on the
+    // n log n path; the round-5 insertion sort took O(t²) byte moves
+    assert((System.nanoTime() - t0) / 1e9 < 30.0)
+  }
+
   test("levSim golden") {
     val df = Seq(("kitten", "sitting")).toDF("a", "b")
     val got = df.select(Similarity.levSim(col("a"), col("b"))).head().getDouble(0)
