@@ -94,6 +94,53 @@ object BenchExtra {
       evalScored(hydrated.limit(10000)) // warmup
       time("scoring pass1")(evalScored(hydrated))
       time("scoring pass2")(evalScored(hydrated))
+      // kernel-free baseline over the same cache: how much of a scoring
+      // pass is columnar-cache scan/decode vs similarity CPU
+      time("cache scan baseline (no kernel)") {
+        hydrated.agg(sum(
+          length(col("head_text_l")) + length(col("head_text_r")) +
+            length(col("full_text_l")) + length(col("full_text_r")) +
+            length(col("role_seq_l")) + length(col("role_seq_r")))).head()
+        ()
+      }
+    } else if (mode == "features") {
+      // per-feature kernel attribution over the same DISK_ONLY cache the
+      // bench scores (which feature owns the scoring seconds)
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+      val records = Normalize.normalize(Transcripts.transcripts(spark, sfDir))
+        .cache()
+      records.count()
+      val prefix8 = Seq(BoundScheme(FirstNChars(8), "head_text"))
+      val ngram6 = Seq(BoundScheme(FindNgrams(6), "head_text"))
+      val allPairs = Blocking.unionPairs(Seq(
+        Blocking.candidatePairs(records, prefix8, "conv_id",
+          Blocking.DefaultMaxBlockSize),
+        Blocking.candidatePairs(records, ngram6, "conv_id",
+          Blocking.DefaultMaxBlockSize))).localCheckpoint()
+      spark.conf.set("spark.sql.shuffle.partitions", (cpus * 4).toString)
+      val hydrated = Distances.hydrate(allPairs, records,
+        Distances.featureAttrs)
+        .repartition(cpus * 4)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      hydrated.count()
+      import graft.sim.Similarity
+      val feats = Seq(
+        "jw_head" -> Similarity.jw(col("head_text_l"), col("head_text_r")),
+        "jw_role" -> Similarity.jw(col("role_seq_l"), col("role_seq_r")),
+        "jw_full" -> Similarity.jw(col("full_text_l"), col("full_text_r")),
+        "lev_full" -> Similarity.levSim(col("full_text_l"),
+          col("full_text_r")),
+        "jac_full" -> Similarity.tokenJaccard(col("full_text_l"),
+          col("full_text_r")))
+      // warmup
+      hydrated.limit(10000).agg(sum(feats.map(_._2).reduce(_ + _))).head()
+      hydrated.agg(count(lit(1))).head()
+      feats.foreach { case (name, c) =>
+        time(s"feature $name only")(hydrated.agg(sum(c)).head())
+      }
+      time("all five features") {
+        hydrated.agg(sum(feats.map(_._2).reduce(_ + _))).head()
+      }
     } else if (mode == "e2e") {
       // stage decomposition of Dedupe.run (same calls, same config, with
       // per-stage barriers so each cost is attributable)

@@ -37,16 +37,26 @@ object Levenshtein {
     * through the kernels' shared [[OperandBuffers]] (see there for
     * why getBytes is off-limits on this path). The kernel runs
     * allocation-free after warm-up. */
+  /** Peq rows carry a per-call generation stamp (same scheme as
+    * JaroWinkler.BitScratch): `gen(c) == cur` ⇔ row c was written by
+    * THIS call; stale rows read as all-zero and are lazily zeroed on
+    * first write — no pre-clear or post-clear pass. Safe across the
+    * stride-1 / stride-W layouts because a row is only ever trusted
+    * when stamped by the current call. */
   private final class Scratch {
     var w: Int = 0
     var peq: Array[Long] = null
     var pv: Array[Long] = null
     var mv: Array[Long] = null
+    val gen: Array[Long] = new Array[Long](128)
+    var cur: Long = 0L
     def ensure(wNeed: Int): Unit = if (wNeed > w) {
       w = wNeed
       peq = new Array[Long](128 * wNeed)
       pv = new Array[Long](wNeed)
       mv = new Array[Long](wNeed)
+      java.util.Arrays.fill(gen, 0L)
+      cur = 0L
     }
   }
   private val scratch = new ThreadLocal[Scratch] {
@@ -66,32 +76,53 @@ object Levenshtein {
       val o = OperandBuffers.threadLocal.get()
       val ab = o.copyA(a); val bb = o.copyB(b)
       if (isAscii(ab, la) && isAscii(bb, lb)) {
-        if (la <= lb) distanceAscii(ab, la, bb, lb)
-        else distanceAscii(bb, lb, ab, la)
+        // strip the common prefix and suffix first — unit-cost edit
+        // distance is invariant under both (classic identity; the
+        // builtin does the same trim), every stripped byte is a DP
+        // column avoided, and a pattern shortened under 64 chars drops
+        // from the 3-block chain to the all-registers single block.
+        // Byte-wise is exact here: both operands are pure ASCII.
+        val minLen = math.min(la, lb)
+        var pre = 0
+        while (pre < minLen && ab(pre) == bb(pre)) pre += 1
+        var suf = 0
+        while (suf < minLen - pre &&
+          ab(la - 1 - suf) == bb(lb - 1 - suf)) suf += 1
+        val ma = la - pre - suf; val mb = lb - pre - suf
+        if (ma == 0) mb
+        else if (mb == 0) ma
+        else if (ma <= mb) distanceAscii(ab, pre, ma, bb, pre, mb)
+        else distanceAscii(bb, pre, mb, ab, pre, ma)
       } else a.levenshteinDistance(b)
     }
   }
 
-  /** pattern p (m ≤ n), single-block or chained. */
-  private def distanceAscii(p: Array[Byte], m: Int,
-                            t: Array[Byte], n: Int): Int =
-    if (m <= 64) distance1(p, m, t, n) else distanceW(p, m, t, n)
+  /** pattern p[po, po+m) (m ≤ n), single-block or chained. */
+  private def distanceAscii(p: Array[Byte], po: Int, m: Int,
+                            t: Array[Byte], to: Int, n: Int): Int =
+    if (m <= 64) distance1(p, po, m, t, to, n)
+    else distanceW(p, po, m, t, to, n)
 
   /** m ≤ 64: all state in registers, Peq in a local 128-slot table. */
-  private def distance1(p: Array[Byte], m: Int,
-                        t: Array[Byte], n: Int): Int = {
+  private def distance1(p: Array[Byte], po: Int, m: Int,
+                        t: Array[Byte], to: Int, n: Int): Int = {
     val s = scratch.get(); s.ensure(1)
-    val peq = s.peq
+    val peq = s.peq; val gen = s.gen
+    s.cur += 1
+    val g = s.cur
     var i = 0
-    while (i < m) { peq(p(i)) = 0L; i += 1 }
-    i = 0
-    while (i < m) { peq(p(i)) |= 1L << i; i += 1 }
+    while (i < m) {
+      val c = p(po + i)
+      if (gen(c) != g) { peq(c) = 0L; gen(c) = g }
+      peq(c) |= 1L << i; i += 1
+    }
     val last = 1L << (m - 1)
     var pvv = -1L; var mvv = 0L
     var score = m
     var j = 0
     while (j < n) {
-      val eq = peq(t(j))
+      val tc = t(to + j)
+      val eq = if (gen(tc) == g) peq(tc) else 0L
       val xv = eq | mvv
       val xh = (((eq & pvv) + pvv) ^ pvv) | eq
       var ph = mvv | ~(xh | pvv)
@@ -104,25 +135,27 @@ object Levenshtein {
       mvv = ph & xv
       j += 1
     }
-    // clear only the rows this pattern touched (Peq is shared scratch)
-    i = 0
-    while (i < m) { peq(p(i)) = 0L; i += 1 }
     score
   }
 
   /** m > 64: W = ⌈m/64⌉ blocks, horizontal carry chained low→high;
     * score tracked at bit (m−1) mod 64 of the last block. */
-  private def distanceW(p: Array[Byte], m: Int,
-                        t: Array[Byte], n: Int): Int = {
+  private def distanceW(p: Array[Byte], po: Int, m: Int,
+                        t: Array[Byte], to: Int, n: Int): Int = {
     val w = (m + 63) >> 6
     val s = scratch.get(); s.ensure(w)
-    val peq = s.peq; val pv = s.pv; val mv = s.mv
+    val peq = s.peq; val pv = s.pv; val mv = s.mv; val gen = s.gen
+    s.cur += 1
+    val g = s.cur
     var i = 0
     while (i < m) {
-      java.util.Arrays.fill(peq, p(i) * w, p(i) * w + w, 0L); i += 1
+      val c = p(po + i)
+      if (gen(c) != g) { // first touch this call: lazy-zero the row
+        java.util.Arrays.fill(peq, c * w, c * w + w, 0L)
+        gen(c) = g
+      }
+      peq(c * w + (i >> 6)) |= 1L << (i & 63); i += 1
     }
-    i = 0
-    while (i < m) { peq(p(i) * w + (i >> 6)) |= 1L << (i & 63); i += 1 }
     i = 0
     while (i < w) { pv(i) = -1L; mv(i) = 0L; i += 1 }
     val lastBlock = w - 1
@@ -130,11 +163,14 @@ object Levenshtein {
     var score = m
     var j = 0
     while (j < n) {
-      val c = t(j) * w
+      val tc = t(to + j)
+      // stale row ⇔ text char absent from the pattern: Eq = 0 for
+      // every block (the recurrence still advances)
+      val c = if (gen(tc) == g) tc * w else -1
       var hin = 1 // row-0 boundary: D[0][j] − D[0][j−1] = +1
       i = 0
       while (i < w) {
-        var eq = peq(c + i)
+        var eq = if (c >= 0) peq(c + i) else 0L
         val pvi = pv(i); val mvi = mv(i)
         val xv = eq | mvi
         if (hin < 0) eq |= 1L
@@ -157,10 +193,6 @@ object Levenshtein {
         i += 1
       }
       j += 1
-    }
-    i = 0
-    while (i < m) {
-      java.util.Arrays.fill(peq, p(i) * w, p(i) * w + w, 0L); i += 1
     }
     score
   }

@@ -84,17 +84,24 @@ object JaroWinkler {
 
   /** per-thread scratch for [[jaroBits]]: per-char position bitmasks
     * of s2 (128 ASCII chars × W 64-bit blocks, flattened) plus the
-    * matched-position mask. Grown to the largest W seen; Peq rows are
-    * selectively cleared after use so the table stays all-zero
-    * between calls. */
+    * matched-position mask. Peq rows carry a per-call GENERATION stamp
+    * (`gen(c) == cur` ⇔ row c was written by THIS call): a stale row
+    * is treated as all-zero and lazily zeroed on first write, which
+    * removes both full zeroing passes the round-5 kernel paid per call
+    * (pre-clear + post-clear, ~2·len2·W word writes per pair) and lets
+    * the matching loop skip s1 chars absent from s2 entirely. */
   private final class BitScratch {
     var w: Int = 0
     var peq: Array[Long] = null
     var matched: Array[Long] = null
+    val gen: Array[Long] = new Array[Long](128)
+    var cur: Long = 0L
     def ensure(wNeed: Int): Unit = if (wNeed > w) {
       w = wNeed
       peq = new Array[Long](128 * wNeed)
       matched = new Array[Long](wNeed)
+      java.util.Arrays.fill(gen, 0L)
+      cur = 0L
     }
   }
   private val bitScratch = new ThreadLocal[BitScratch] {
@@ -116,44 +123,46 @@ object JaroWinkler {
     val window = math.max(math.max(len1, len2) / 2 - 1, 0)
     val w2 = (len2 + 63) >> 6
     val s = bitScratch.get(); s.ensure(w2)
-    val peq = s.peq; val matched = s.matched
+    val peq = s.peq; val matched = s.matched; val gen = s.gen
+    s.cur += 1
+    val g = s.cur
     var j = 0
     while (j < len2) {
-      java.util.Arrays.fill(peq, s2(j) * w2, s2(j) * w2 + w2, 0L); j += 1
-    }
-    j = 0
-    while (j < len2) {
-      peq(s2(j) * w2 + (j >> 6)) |= 1L << (j & 63); j += 1
+      val c = s2(j)
+      if (gen(c) != g) { // first touch this call: lazy-zero the row
+        java.util.Arrays.fill(peq, c * w2, c * w2 + w2, 0L)
+        gen(c) = g
+      }
+      peq(c * w2 + (j >> 6)) |= 1L << (j & 63); j += 1
     }
     java.util.Arrays.fill(matched, 0, w2, 0L)
     val f = flags(len1) // s1-side matched booleans only
     var m = 0
     var i = 0
     while (i < len1) {
-      val lo = math.max(0, i - window)
-      val hi = math.min(len2 - 1, i + window)
-      if (lo <= hi) {
-        val c = s1(i) * w2
-        val bLo = lo >> 6; val bHi = hi >> 6
-        var b = bLo
-        var done = false
-        while (b <= bHi && !done) {
-          var mask = peq(c + b) & ~matched(b)
-          if (b == bLo) mask &= -1L << (lo & 63)
-          if (b == bHi) mask &= -1L >>> (63 - (hi & 63))
-          if (mask != 0L) {
-            matched(b) |= mask & -mask // lowest set bit = lowest j
-            f(i) = true; m += 1; done = true
+      // stale generation ⇔ s1(i) does not occur in s2 at all — no
+      // candidate positions, skip the band walk outright
+      if (gen(s1(i)) == g) {
+        val lo = math.max(0, i - window)
+        val hi = math.min(len2 - 1, i + window)
+        if (lo <= hi) {
+          val c = s1(i) * w2
+          val bLo = lo >> 6; val bHi = hi >> 6
+          var b = bLo
+          var done = false
+          while (b <= bHi && !done) {
+            var mask = peq(c + b) & ~matched(b)
+            if (b == bLo) mask &= -1L << (lo & 63)
+            if (b == bHi) mask &= -1L >>> (63 - (hi & 63))
+            if (mask != 0L) {
+              matched(b) |= mask & -mask // lowest set bit = lowest j
+              f(i) = true; m += 1; done = true
+            }
+            b += 1
           }
-          b += 1
         }
       }
       i += 1
-    }
-    // restore the shared Peq rows to zero (only the rows s2 touched)
-    j = 0
-    while (j < len2) {
-      java.util.Arrays.fill(peq, s2(j) * w2, s2(j) * w2 + w2, 0L); j += 1
     }
     if (m == 0) return 0.0
     // transpositions: pair matched s1 chars (ascending i) with matched
@@ -193,7 +202,14 @@ object JaroWinkler {
   import OperandBuffers.isAscii
 
   def jaroWinklerUTF8(a: UTF8String, b: UTF8String): Double = {
+    // equal operands: jaro = (1+1+1)/3 = 1.0 exactly, winkler(1.0) =
+    // 1.0 — EXCEPT the both-empty case, where the kernel (like DuckDB)
+    // returns 0.0. Identical strings are structurally common in this
+    // domain (role_seq is a deterministic function of the turn count),
+    // and the byte-equality check is one early-exit memcmp vs a full
+    // matching scan.
     val la = a.numBytes(); val lb = b.numBytes()
+    if (la == lb && a.equals(b)) return if (la == 0) 0.0 else 1.0
     val o = OperandBuffers.threadLocal.get()
     val ab = o.copyA(a); val bb = o.copyB(b)
     if (isAscii(ab, la) && isAscii(bb, lb))
@@ -204,6 +220,7 @@ object JaroWinkler {
   /** Plain Jaro over UTF8String (same kernel, no Winkler boost). */
   def jaroUTF8(a: UTF8String, b: UTF8String): Double = {
     val la = a.numBytes(); val lb = b.numBytes()
+    if (la == lb && a.equals(b)) return if (la == 0) 0.0 else 1.0
     val o = OperandBuffers.threadLocal.get()
     val ab = o.copyA(a); val bb = o.copyB(b)
     if (isAscii(ab, la) && isAscii(bb, lb)) jaroBytes(ab, la, bb, lb)

@@ -214,6 +214,10 @@ object TokenSets {
   }
 
   def jaccardUTF8(a: UTF8String, b: UTF8String): Double = {
+    // equal operands tokenize identically: |∩| = |∪| ⇒ 1.0 (and the
+    // both-token-less convention is 1.0 as well) — one memcmp instead
+    // of two tokenize+sort passes
+    if (a.numBytes() == b.numBytes() && a.equals(b)) return 1.0
     val la = a.numBytes(); val lb = b.numBytes()
     val o = OperandBuffers.threadLocal.get()
     val ab = o.copyA(a); val bb = o.copyB(b)
