@@ -206,8 +206,9 @@ object Blocking {
 
   /** All i<j combinations of a sorted member array as (id_l, id_r)
     * structs — evaluated map-side, bounded by the block-size cap
-    * (≤ C(maxBlockSize, 2) structs per block). */
-  private def pairCombinations(ids: Column): Column =
+    * (≤ C(maxBlockSize, 2) structs per block). Shared with the
+    * banded near-dup generators in graft.text. */
+  private[graft] def pairCombinations(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(
         slice(ids, i + lit(2), greatest(size(ids) - i - lit(1), lit(0))),

@@ -435,20 +435,41 @@ object TextOps {
   def simhashHammingPairs(c: DataFrame, maxHamming: Int = 8,
                           bandCap: Int = BandCap): DataFrame = {
     val sig = simhash64(c).localCheckpoint()
-    val bands = (0 until 4).map { b =>
-      val key = col("simhash64").bitwiseAND(lit(65535L << (16 * b)))
-      val banded = sig.select(col("doc_id"), col("simhash64"), key.as("k"))
-      val keep = banded.groupBy("k").agg(count(lit(1)).as("_bucket_n"))
-        .filter(col("_bucket_n") <= bandCap).drop("_bucket_n")
-      val capped = banded.join(keep, Seq("k"), "left_semi")
-      capped.select(col("doc_id").as("id_l"), col("simhash64").as("s_l"),
-          col("k"))
-        .join(capped.select(col("doc_id").as("id_r"),
-          col("simhash64").as("s_r"), col("k")), "k")
-        .filter(col("id_l") < col("id_r"))
-        .select("id_l", "id_r", "s_l", "s_r")
-    }
-    bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+    // same tagged grouped-pairs shape as [[minhashCandidates]] — one
+    // pipeline for all 4 bands; bucket members carry their signature so
+    // the pair emits (id, sig) for both sides and the Hamming verify
+    // stays a map-side projection. array_sort on (doc_id, simhash64)
+    // structs orders by doc_id first (ids unique per bucket), so i<j
+    // pairs ≡ the former id_l < id_r join filter.
+    val bandArr = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        col("simhash64").bitwiseAND(lit(65535L << (16 * b))).as("k"))
+    }: _*)
+    val banded = sig.select(col("doc_id"), col("simhash64"),
+        explode(bandArr).as("_b"))
+      .select(col("doc_id"), col("simhash64"),
+        col("_b.band").as("band"), col("_b.k").as("k"))
+    val keys = Seq("band", "k")
+    val keep = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") > 1 && col("_bucket_n") <= bandCap)
+      .drop("_bucket_n")
+    val members = banded.join(keep, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("simhash64")))).as("_ms"))
+    val combos = flatten(transform(col("_ms"), (x, i) =>
+      transform(
+        slice(col("_ms"), i + lit(2),
+          greatest(size(col("_ms")) - i - lit(1), lit(0))),
+        y => struct(x.getField("doc_id").as("id_l"),
+          y.getField("doc_id").as("id_r"),
+          x.getField("simhash64").as("s_l"),
+          y.getField("simhash64").as("s_r")))))
+    members.select(explode(combos).as("_p"))
+      .select(col("_p.id_l").as("id_l"), col("_p.id_r").as("id_r"),
+        col("_p.s_l").as("s_l"), col("_p.s_r").as("s_r"))
+      .dropDuplicates("id_l", "id_r")
       .withColumn("hamming",
         bit_count(col("s_l").bitwiseXOR(col("s_r"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
@@ -544,21 +565,32 @@ object TextOps {
     * for stage-level profiling (graft.Profile) and composition. */
   def minhashCandidates(c: DataFrame, bandCap: Int = BandCap): DataFrame = {
     val sig = minhashSignatures(c).localCheckpoint()
-    val bands = (0 until MinHashFns / BandSize).map { b =>
-      val banded = sig.select(col("doc_id"),
-        col(s"h${2 * b}").as("k0"), col(s"h${2 * b + 1}").as("k1"))
-      val keep = banded.groupBy("k0", "k1")
-        .agg(count(lit(1)).as("_bucket_n"))
-        .filter(col("_bucket_n") <= bandCap)
-        .drop("_bucket_n")
-      val capped = banded.join(keep, Seq("k0", "k1"), "left_semi")
-      capped.select(col("doc_id").as("id_l"), col("k0"), col("k1"))
-        .join(capped.select(col("doc_id").as("id_r"), col("k0"), col("k1")),
-          Seq("k0", "k1"))
-        .filter(col("id_l") < col("id_r"))
-        .select("id_l", "id_r")
-    }
-    bands.reduce(_ unionByName _).dropDuplicates("id_l", "id_r")
+    // ONE tagged grouped-pairs pipeline instead of 4 per-band self-join
+    // subtrees (guide §2.4): every (band, k0, k1) bucket key rides one
+    // explode, one grouped count (map-side partial agg), one semi-join
+    // and one member-collecting groupBy that reuses the semi-join's
+    // partitioning; i<j pairs are emitted map-side from each bucket's
+    // sorted member array, bounded by the band cap. Same pair set as
+    // the former per-band joins (union ∪ dedupe ≡ dedupe over the
+    // tagged union).
+    val bandArr = array((0 until MinHashFns / BandSize).map { b =>
+      struct(lit(b).as("band"), col(s"h${2 * b}").as("k0"),
+        col(s"h${2 * b + 1}").as("k1")) }: _*)
+    val banded = sig.select(col("doc_id"), explode(bandArr).as("_b"))
+      .select(col("doc_id"), col("_b.band").as("band"),
+        col("_b.k0").as("k0"), col("_b.k1").as("k1"))
+    val keys = Seq("band", "k0", "k1")
+    val keep = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .filter(col("_bucket_n") > 1 && col("_bucket_n") <= bandCap)
+      .drop("_bucket_n")
+    banded.join(keep, keys, "left_semi")
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(col("doc_id"))).as("_ids"))
+      .select(explode(
+        graft.block.Blocking.pairCombinations(col("_ids"))).as("_p"))
+      .select(col("_p.id_l").as("id_l"), col("_p.id_r").as("id_r"))
+      .dropDuplicates("id_l", "id_r")
   }
 
   def minhashPairs(c: DataFrame, threshold: Double = 0.5,
